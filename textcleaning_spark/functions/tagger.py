@@ -1,0 +1,116 @@
+"""Deterministic rule-based POS tagger, defined once for both engines.
+
+The reference tags with NLTK's PerceptronTagger (text_process.py:261,
+text_process_v5.py:25). That model isn't available here and a learned
+tagger isn't SQL-checkable, so the engine ships a deterministic
+suffix/lexicon tagger in the style of NLTK's classic RegexpTagger
+(public pattern set): an ordered rule list compiled to ONE native CASE
+expression — pure JVM codegen in Spark, and the identical CASE in the
+DuckDB oracle. Tags are Penn-Treebank so the reference's stop-POS
+levels (utils.py:230-243) apply unchanged.
+
+Rules are data (ordered, first match wins); both engine forms are
+generated from the same table, so they cannot diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# lexicon rules: exact lowercase word -> tag (first match wins)
+LEXICON: tuple[tuple[tuple[str, ...], str], ...] = (
+    (("a", "an", "the"), "DT"),
+    (("and", "or", "but", "nor"), "CC"),
+    (("of", "in", "on", "for", "with", "at", "by", "from", "as",
+      "into", "through", "during", "before", "after", "above", "below",
+      "under", "over", "about"), "IN"),
+    (("to",), "TO"),
+    (("is", "are", "was", "were", "be", "been", "being", "am"), "VB"),
+    (("he", "she", "it", "they", "we", "you", "i", "them", "him", "her",
+      "us", "me"), "PRP"),
+    (("his", "its", "their", "our", "your", "my"), "PRP$"),
+    (("can", "will", "may", "must", "shall", "would", "could", "should",
+      "might"), "MD"),
+    (("not", "very", "too", "so", "just", "also", "there", "then", "now"),
+     "RB"),
+    (("what", "which", "who", "whom"), "WP"),
+    (("when", "where", "why", "how"), "WRB"),
+    (("this", "that", "these", "those", "all", "any", "both", "each",
+      "some", "such", "no"), "DT"),
+)
+
+# suffix rules applied after the lexicon: (suffix, min_word_len, tag)
+SUFFIXES: tuple[tuple[str, int, str], ...] = (
+    ("ing", 5, "VBG"),
+    ("ed", 4, "VBD"),
+    ("ly", 4, "RB"),
+    ("est", 5, "JJS"),
+    ("ous", 4, "JJ"),
+    ("ful", 4, "JJ"),
+    ("ive", 4, "JJ"),
+    ("able", 5, "JJ"),
+    ("ible", 5, "JJ"),
+    ("ical", 5, "JJ"),
+    ("ment", 5, "NN"),
+    ("ness", 5, "NN"),
+    ("tion", 5, "NN"),
+    ("sion", 5, "NN"),
+    ("er", 4, "NN"),
+    ("or", 4, "NN"),
+    ("s", 4, "NNS"),
+)
+
+NUMBER_RE = "^[0-9]+([.,][0-9]+)*$"
+DEFAULT_TAG = "NN"
+
+
+def tag_word(word: Column) -> Column:
+    """Spark CASE expression tagging one (already tokenized) word."""
+    low = F.lower(word)
+    out = None
+
+    def _chain(prev, cond, tag):
+        return F.when(cond, F.lit(tag)) if prev is None else prev.when(cond, F.lit(tag))
+
+    for words, tag in LEXICON:
+        out = _chain(out, low.isin(*words), tag)
+    out = out.when(low.rlike(NUMBER_RE), F.lit("CD"))
+    for suf, min_len, tag in SUFFIXES:
+        out = out.when(
+            low.endswith(suf) & (F.length(word) >= min_len), F.lit(tag)
+        )
+    return out.otherwise(F.lit(DEFAULT_TAG))
+
+
+def tag_word_sql(word: str) -> str:
+    """Identical CASE expression as DuckDB SQL over expression ``word``."""
+    low = f"lower({word})"
+    parts = ["CASE"]
+    for words, tag in LEXICON:
+        inlist = ", ".join(f"'{w}'" for w in words)
+        parts.append(f"WHEN {low} IN ({inlist}) THEN '{tag}'")
+    parts.append(f"WHEN regexp_matches({low}, '{NUMBER_RE}') THEN 'CD'")
+    for suf, min_len, tag in SUFFIXES:
+        parts.append(
+            f"WHEN suffix({low}, '{suf}') AND length({word}) >= {min_len} "
+            f"THEN '{tag}'"
+        )
+    parts.append(f"ELSE '{DEFAULT_TAG}' END")
+    return " ".join(parts)
+
+
+def tag_word_py(word: str) -> str:
+    """Pure-Python twin (used by the golden pandas oracle in tests)."""
+    low = word.lower()
+    for words, tag in LEXICON:
+        if low in words:
+            return tag
+    import re
+
+    if re.match(NUMBER_RE, low):
+        return "CD"
+    for suf, min_len, tag in SUFFIXES:
+        if low.endswith(suf) and len(word) >= min_len:
+            return tag
+    return DEFAULT_TAG

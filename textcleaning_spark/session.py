@@ -1,0 +1,63 @@
+"""SparkSession factory with defaults tuned for the quality-filter engine.
+
+Local testing runs ``local[N]`` but every default is chosen to also hold
+on a 1000-executor cluster reading 100 TB:
+
+* AQE on (runtime shuffle-partition coalescing, skew-join splitting) —
+  the self-join on hot words (SURVEY.md J1) is quadratic per key and
+  MUST run with skew splitting at scale.
+* Arrow enabled — all Python-visible compute is pandas_udf over Arrow
+  batches (north_rule: no per-row Python).
+* Session timezone pinned to UTC so timestamp semantics are identical
+  across engines (and vs the DuckDB oracle).
+* ``spark.sql.shuffle.partitions`` defaults to 2× the local cores; on a
+  real cluster AQE coalesces from a deliberately high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "textcleaning-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` may be an int, ``"*"``, or None (env ``SPARK_GRAFT_CPUS``,
+    else ``*``). Benchmarks pass 8 vs 32 to evidence scaling efficiency.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        try:
+            n = int(cores)
+        except (TypeError, ValueError):
+            n = os.cpu_count() or 8
+        shuffle_partitions = max(8, 2 * n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # generous broadcast threshold: all dimension/vocab tables in this
+        # engine are tiny relative to the fact side even at 100 TB
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
