@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, plus an
+LSH-bucketed (random-hyperplane) variant as the 100 TB scale path.
+
+Scale notes:
+* Brute force is O(N²·d) — fine for oracle checks, unusable at web
+  scale. The plan broadcasts the smaller (query) side so the big side
+  never shuffles.
+* The hyperplane-LSH path buckets vectors by sign patterns of h dot
+  products with fixed pseudo-random planes; the join is on bucket id,
+  shuffle volume O(N), and recall is tunable via (h, tables). Planes
+  are derived deterministically from md5 so executors need no shared
+  random state.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — deterministic order, both engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector (brute force).
+
+    ``queries`` defaults to the corpus itself (all-pairs, self
+    excluded). The query side is broadcast: at scale the corpus side
+    streams partition-local with zero shuffle until the final top-k.
+    """
+    base = emb.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("item_vec"),
+        _norm(F.col(vec_col)).alias("item_norm"),
+    )
+    qs = (queries or emb).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        _norm(F.col(vec_col)).alias("query_norm"),
+    )
+    pairs = base.join(F.broadcast(qs), F.col("item_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "item_id",
+        F.round(
+            _dot(F.col("query_vec"), F.col("item_vec"))
+            / (F.col("query_norm") * F.col("item_norm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "item_id", "cosine", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+def _plane(dim: int, plane_id: int, table_id: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — no shared RNG."""
+    import hashlib
+
+    vals = []
+    i = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"{table_id}:{plane_id}:{i}".encode()).digest()
+        for off in range(0, 16, 4):
+            u = int.from_bytes(h[off : off + 4], "big") / 2**32  # [0,1)
+            # Box-Muller-free symmetric variate: uniform on [-1, 1)
+            vals.append(2.0 * u - 1.0)
+            if len(vals) == dim:
+                break
+        i += 1
+    return vals
+
+
+def hyperplane_lsh_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucketing then exact
+    cosine within buckets (union over tables, dedup, per-query top-k).
+
+    Shuffle is on (table, bucket) keys — O(N·tables) rows — instead of
+    the brute-force O(N²) pair space.
+    """
+    def bucket(table_id: int) -> Column:
+        bits = []
+        for p in range(n_planes):
+            plane = _plane(dim, p, table_id)
+            plane_col = F.array(*[F.lit(v) for v in plane])
+            bits.append(
+                F.when(_dot(F.col(vec_col), plane_col) >= 0, F.lit(1 << p)).otherwise(
+                    F.lit(0)
+                )
+            )
+        b = bits[0]
+        for c in bits[1:]:
+            b = b + c
+        return b.cast("int")
+
+    tables = []
+    for t in range(n_tables):
+        tables.append(
+            emb.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.lit(t).alias("table_id"),
+                bucket(t).alias("bucket"),
+            )
+        )
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionByName(t)
+
+    a = bucketed.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
+        "table_id", "bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"),
+        F.col("table_id").alias("table_id_b"), F.col("bucket").alias("bucket_b"),
+    )
+    cands = (
+        a.join(
+            b,
+            (a.table_id == b.table_id_b)
+            & (a.bucket == b.bucket_b)
+            & (F.col("query_id") != F.col("item_id")),
+        )
+        .select("query_id", "item_id", "query_vec", "item_vec")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "item_id",
+        F.round(
+            _dot(F.col("query_vec"), F.col("item_vec"))
+            / (_norm(F.col("query_vec")) * _norm(F.col("item_vec"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "item_id", "cosine", F.col("rn").cast("bigint").alias("rn"))
+    )

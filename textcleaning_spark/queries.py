@@ -389,3 +389,464 @@ def cooccurrence_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = co.actor_word_weights(docs, "lang", "source", "text", "doc_id")
     return co.node_table(w)
+
+
+# ===========================================================================
+# Batch 2: windows/sessions, relational joins, dedup, similarity, scrub
+# ===========================================================================
+from textcleaning_spark.config import ScrubConfig
+from textcleaning_spark.functions import stemmer
+from textcleaning_spark.operators import dedup as dd
+from textcleaning_spark.operators import similarity as sim
+from textcleaning_spark.operators import windows as win
+
+
+# ---------------------------------------------------------------------------
+# 11. Sliding event-time window (W3)
+# ---------------------------------------------------------------------------
+@register(
+    "sliding_window_events",
+    """
+    WITH expanded AS (
+        SELECT unnest(generate_series(date_trunc('day', ts) - INTERVAL 6 DAY,
+                                      date_trunc('day', ts),
+                                      INTERVAL 1 DAY)) AS win_start,
+               value
+        FROM events
+    )
+    SELECT win_start::DATE AS win_start,
+           count(*)::BIGINT AS n_events,
+           (sum(value::DECIMAL(18,6)))::DOUBLE AS total_value
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: 7-day sliding windows, stride 1 day, one pass (each event
+    expands to the 7 windows containing it) — the batch twin of a
+    Structured Streaming sliding-window aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    out = win.sliding_window_agg(ev.select("ts", "value"), "ts", 7, "value")
+    return out.select(
+        F.col("win_start").cast("date").alias("win_start"), "n_events", "total_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. Gap-based sessionization (streaming-shaped stateful op, batch twin)
+# ---------------------------------------------------------------------------
+@register(
+    "user_sessions",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        FROM flagged
+    ),
+    per AS (
+        SELECT user_id, session_id, count(*)::BIGINT AS n_events
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, count(*)::BIGINT AS n_sessions, max(n_events) AS max_session_events
+    FROM per GROUP BY user_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute gap: lag + running sum windows.
+    (Streaming variant: applyInPandasWithState in streaming/.)"""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull()
+        | (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(prev.cast("timestamp")) > 1_800_000_000)
+    ).cast("int")
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_s)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. TPC-H-style pricing summary (A2/A10/A12 at relational scale)
+#     All money sums via exact DECIMAL, cast to DOUBLE at the end.
+# ---------------------------------------------------------------------------
+_Q1_CUTOFF = "1998-12-01"
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           (sum(l_quantity::DECIMAL(10,2)))::DOUBLE AS sum_qty,
+           (sum(l_extendedprice::DECIMAL(10,2)))::DOUBLE AS sum_base_price,
+           (sum(l_extendedprice::DECIMAL(10,2) * (1 - l_discount::DECIMAL(10,2))))::DOUBLE AS sum_disc_price,
+           (sum(l_extendedprice::DECIMAL(10,2) * (1 - l_discount::DECIMAL(10,2))
+                * (1 + l_tax::DECIMAL(10,2))))::DOUBLE AS sum_charge,
+           (sum(l_quantity::DECIMAL(10,2)))::DOUBLE / count(*) AS avg_qty,
+           (sum(l_extendedprice::DECIMAL(10,2)))::DOUBLE / count(*) AS avg_price,
+           (sum(l_discount::DECIMAL(10,2)))::DOUBLE / count(*) AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation with exact
+    decimal money sums (deterministic under any partitioning)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(10,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1) - dec("l_discount"))
+                * (F.lit(1) + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. Multi-join revenue rollup (broadcast dims over fact)
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name, r_name,
+           count(*)::BIGINT AS n_orders,
+           (sum(o_totalprice::DECIMAL(12,2)))::DOUBLE AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact(orders) ⋈ broadcast dims. Catalyst broadcasts
+    customer/nation/region automatically (all far under the threshold),
+    so the fact table never shuffles before aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 15/16/17. Dedup family
+# ---------------------------------------------------------------------------
+@register(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS text_hash,
+           count(*)::BIGINT AS n_copies,
+           min(doc_id) AS keeper
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on the 128-bit content hash; text never
+    shuffles, only (hash, id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_duplicates(docs, "doc_id", "text")
+
+
+_MINHASH_K = 8
+
+
+@register(
+    "minhash_signatures",
+    "SELECT doc_id, "
+    + ", ".join(dd.minhash_signature_sql("text", _MINHASH_K))
+    + " FROM documents",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 MinHash signatures as native expressions (md5 permutations
+    over the distinct-token set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_signature(docs, "doc_id", "text", _MINHASH_K)
+
+
+_JACCARD_T = 0.96
+
+
+@register(
+    "near_dup_jaccard",
+    f"""
+    WITH tok AS (
+        SELECT doc_id AS doc, unnest(list_distinct({_TOK})) AS word FROM documents
+    ),
+    sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM tok GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS common
+        FROM tok a JOIN tok b ON a.word = b.word AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(common::DOUBLE / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= {_JACCARD_T}
+    """,
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs token-set Jaccard ≥ 0.96 (oracle path; the LSH
+    pipeline replaces this at scale — see ann_lsh_topk / lsh pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.token_jaccard_pairs(docs, "doc_id", "text", _JACCARD_T)
+
+
+# ---------------------------------------------------------------------------
+# 18. Embedding cosine top-k (brute force, oracle-checked)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        FROM e
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+               round(list_reduce(list_transform(list_zip(q.v, i.v), p -> p[1] * p[2]),
+                                 (a, b) -> a + b) / (q.nrm * i.nrm), 6) AS cosine
+        FROM n q JOIN n i ON q.vec_id <> i.vec_id
+    )
+    SELECT query_id, item_id, cosine, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, item_id ASC)::BIGINT AS rn
+        FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per vector; sequential-fold dot product
+    gives bit-identical doubles across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_bruteforce(emb, "vec_id", "embedding", k=5)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k — the scale path (rows-only
+    check; recall vs brute force asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.hyperplane_lsh_topk(emb, "vec_id", "embedding", k=5)
+
+
+_QUERIES["ann_lsh_topk"] = ann_lsh_topk
+
+
+# ---------------------------------------------------------------------------
+# 19. CUBE profile — replaces the reference's per-nation copy-pasted
+#     pipelines (text_process_v6.py:172-199) with one grouped query
+# ---------------------------------------------------------------------------
+@register(
+    "cube_profile",
+    """
+    SELECT coalesce(lang, 'ALL') AS lang_g,
+           coalesce(source, 'ALL') AS source_g,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang_g"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source_g"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 20. PII / toxicity scrub parity (F9 generalized; north_rule scrub)
+# ---------------------------------------------------------------------------
+_SCRUB = ScrubConfig(toxic_terms=("spark",))
+
+
+def _scrub_sql(col: str) -> str:
+    out = col
+    for _name, pat, rep in _SCRUB.rules:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{rep}', 'g')"
+    for term in _SCRUB.toxic_terms:
+        out = f"regexp_replace({out}, '\\b{term}\\b', '{_SCRUB.toxic_replacement}', 'g')"
+    return out
+
+
+def _scrub_col(col):
+    out = col
+    for _name, pat, rep in _SCRUB.rules:
+        out = F.regexp_replace(out, pat, rep)
+    for term in _SCRUB.toxic_terms:
+        out = F.regexp_replace(out, rf"\b{term}\b", _SCRUB.toxic_replacement)
+    return out
+
+
+@register(
+    "scrub_parity",
+    f"""
+    SELECT doc_id,
+           md5({_scrub_sql('text')}) AS scrub_hash,
+           len(regexp_extract_all(text, '\\bspark\\b'))::BIGINT AS tox_hits
+    FROM documents
+    """,
+)
+def scrub_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled-regex scrub chain (email/SSN/phone/IP + toxic terms),
+    native regexp_replace — byte-level parity checked via md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(_scrub_col(F.col("text")), "UTF-8")).alias("scrub_hash"),
+        F.regexp_count(F.col("text"), F.lit(r"\bspark\b")).cast("bigint").alias("tox_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 21. Stem → surface-form argmax (J4/A9; text_process_v4.py:17-30)
+# ---------------------------------------------------------------------------
+@register(
+    "stem_surface_forms",
+    f"""
+    WITH {_DOC_TOKENS_CTE},
+    stemmed AS (
+        SELECT word, {stemmer.stem_word_sql('word')} AS stem FROM tok
+    ),
+    counted AS (
+        SELECT stem, word, count(*)::BIGINT AS cnt FROM stemmed GROUP BY stem, word
+    )
+    SELECT stem, word AS surface, cnt FROM (
+        SELECT stem, word, cnt,
+               row_number() OVER (PARTITION BY stem ORDER BY cnt DESC, word ASC) AS rn
+        FROM counted
+    ) WHERE rn = 1
+    """,
+)
+def stem_surface_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: most frequent original token per stem (argmax via
+    row_number), using the deterministic S-stemmer."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = cs.explode_tokens(docs, "doc_id", "text")
+    stemmed = tok.withColumn("stem", stemmer.stem_word(F.col("word")))
+    counted = stemmed.groupBy("stem", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("stem").orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("stem", F.col("word").alias("surface"), "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 22. Cleaned (scrubbed) text — the reference's clean_text chain
+#     (P7 len>1, P9 stop words, P8 stop-POS lv1, F12 array_join)
+# ---------------------------------------------------------------------------
+from textcleaning_spark.config import STOP_WORDS as _SW
+from textcleaning_spark.config import stop_pos as _sp
+
+_SW_SQL = ", ".join(f"'{w}'" for w in _SW)
+_STOP1_SQL = ", ".join(f"'{t}'" for t in _sp(1))
+
+
+@register(
+    "cleaned_text",
+    f"""
+    WITH kept AS (
+        SELECT doc_id,
+               list_filter({_TOK},
+                   t -> length(t) > 1
+                        AND NOT list_contains([{_SW_SQL}], lower(t))
+                        AND ({tagger.tag_word_sql('t')}) NOT IN ({_STOP1_SQL})
+               ) AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(array_to_string(toks, ' ')) AS clean_hash,
+           len(toks)::BIGINT AS n_kept
+    FROM kept
+    """,
+)
+def cleaned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-document cleaning chain (text_process.py:
+    259-267): tokenize → drop stop-POS (lv1) → drop 1-char tokens →
+    drop stop words → ' '-join. Byte-level parity via md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in _SW])
+    kept = F.filter(
+        T.tokens("text"),
+        lambda t: (F.length(t) > 1)
+        & ~F.array_contains(stop_arr, F.lower(t))
+        & ~tagger.tag_word(t).isin(*_sp(1)),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(F.array_join(kept, " "), "UTF-8")).alias("clean_hash"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+    )
