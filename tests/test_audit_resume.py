@@ -1,0 +1,46 @@
+"""Checkpoint/lineage/resume contract: a killed job resumes without
+recomputing completed buckets (north_rule)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from textcleaning_spark.plans.audit import completed_buckets, pending, run_resumable
+from textcleaning_spark.plans.pipeline import run_quality_pipeline
+from textcleaning_spark.sources.pages import generate_pages
+
+
+@pytest.fixture()
+def scored(spark):
+    return run_quality_pipeline(generate_pages(spark, 200, seed=11, partitions=4))
+
+
+def test_full_run_then_noop_resume(spark, scored, tmp_path):
+    out, audit = str(tmp_path / "out"), str(tmp_path / "audit")
+    n1 = run_resumable(scored, spark, out, audit, "quality_filter")
+    assert n1 == 200
+    n2 = run_resumable(scored, spark, out, audit, "quality_filter")
+    assert n2 == 0  # everything audited — nothing recomputed
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_partial_crash_resume(spark, scored, tmp_path):
+    out, audit = str(tmp_path / "out"), str(tmp_path / "audit")
+    buckets = sorted(
+        r["lineage_bucket"]
+        for r in scored.select("lineage_bucket").distinct().collect()
+    )
+    half = set(buckets[: len(buckets) // 2])
+    # simulate a job killed after finishing half the buckets
+    first = scored.filter(F.col("lineage_bucket").isin(*half))
+    n_first = run_resumable(first, spark, out, audit, "quality_filter")
+    assert n_first == first.count()
+    # resume with the FULL input: only the missing buckets run
+    n_resumed = run_resumable(scored, spark, out, audit, "quality_filter")
+    assert n_resumed == 200 - n_first
+    assert spark.read.parquet(out).count() == 200
+    done = completed_buckets(spark, audit, "quality_filter")
+    assert done.count() == len(buckets)
+    assert pending(scored, spark, audit, "quality_filter").count() == 0

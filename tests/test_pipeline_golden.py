@@ -1,0 +1,119 @@
+"""Golden tests for the end-to-end quality-filter pipeline: keep/drop
+F1 vs an independent sequential-pandas implementation and BYTE-IDENTICAL
+scrubbed text per url (north_rule contract)."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+
+from textcleaning_spark.config import DEFAULT_CONFIG, STOP_WORDS, QualityConfig
+from textcleaning_spark.functions.scrub import scrub_py
+from textcleaning_spark.plans.pipeline import metrics_table, run_quality_pipeline
+from textcleaning_spark.sources.pages import generate_pages, generate_pages_pdf
+
+N = 400
+SEED = 7
+
+
+# ---------------------------------------------------------------------------
+# independent golden implementation (sequential pandas/python)
+# ---------------------------------------------------------------------------
+def golden_keep(text: str, cfg: QualityConfig) -> bool:
+    toks = [t for t in text.split(" ") if t != ""]
+    nw = len(toks)
+    if nw == 0:
+        return False
+    mean_len = len(text.replace(" ", "")) / nw
+    syms = (text.count("#") + text.count("...")) / nw
+    stop_cnt = sum(1 for t in toks if t.lower() in STOP_WORDS)
+    alpha = sum(1 for t in toks if re.search("[A-Za-z]", t)) / nw
+    lines = [l for l in text.split("\n") if l != ""]
+    dup = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+    ell = (
+        sum(1 for l in lines if l.endswith("...")) / len(lines) if lines else 0.0
+    )
+    return (
+        cfg.min_words <= nw <= cfg.max_words
+        and cfg.min_mean_word_len <= mean_len <= cfg.max_mean_word_len
+        and syms <= cfg.max_symbol_to_word_ratio
+        and stop_cnt >= cfg.min_stop_word_count
+        and dup <= cfg.max_dup_line_frac
+        and alpha >= cfg.min_alpha_word_frac
+        and ell <= cfg.max_ellipsis_line_frac
+    )
+
+
+@pytest.fixture(scope="module")
+def golden() -> pd.DataFrame:
+    pdf = generate_pages_pdf(N, SEED)
+    cfg = DEFAULT_CONFIG
+    pdf["keep"] = pdf["text"].map(lambda t: golden_keep(t, cfg.quality))
+    pdf["scrubbed_text"] = pdf.apply(
+        lambda r: scrub_py(r["text"], cfg.scrub) if r["keep"] else None, axis=1
+    )
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark) -> pd.DataFrame:
+    pages = generate_pages(spark, N, SEED, partitions=8)
+    return run_quality_pipeline(pages).toPandas()
+
+
+def test_generator_covers_all_classes(golden):
+    # both verdicts must be exercised, with a realistic keep majority
+    n_keep = int(golden["keep"].sum())
+    assert 0 < n_keep < N
+    assert n_keep > N * 0.5
+
+
+def test_keep_f1_against_golden(golden, pipeline_out):
+    merged = golden[["url", "keep"]].merge(
+        pipeline_out[["url", "keep"]], on="url", suffixes=("_g", "_s")
+    )
+    assert len(merged) == N
+    tp = int(((merged.keep_g) & (merged.keep_s)).sum())
+    fp = int((~merged.keep_g & merged.keep_s).sum())
+    fn = int((merged.keep_g & ~merged.keep_s).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"keep/drop F1 {f1} (fp={fp}, fn={fn})"
+
+
+def test_scrubbed_text_byte_identical(golden, pipeline_out):
+    merged = golden[["url", "scrubbed_text"]].merge(
+        pipeline_out[["url", "scrubbed_text"]], on="url", suffixes=("_g", "_s")
+    )
+    kept = merged[merged.scrubbed_text_g.notna()]
+    assert len(kept) > 0
+    mismatch = kept[kept.scrubbed_text_g != kept.scrubbed_text_s]
+    assert len(mismatch) == 0, mismatch.head(3).to_dict("records")
+
+
+def test_scrub_removes_all_pii(pipeline_out):
+    kept = pipeline_out[pipeline_out.keep]
+    pii_pat = re.compile(
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+        r"|\b\d{3}-\d{2}-\d{4}\b"
+        r"|\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    )
+    bad = kept[kept.scrubbed_text.map(lambda t: bool(pii_pat.search(t or "")))]
+    assert len(bad) == 0, bad[["url", "scrubbed_text"]].head(3).to_dict("records")
+
+
+def test_langid_on_clean_docs(pipeline_out):
+    clean = pipeline_out[pipeline_out.keep & (pipeline_out.n_words >= 20)]
+    acc = (clean.pred_lang == clean.lang).mean()
+    assert acc >= 0.9, f"langid accuracy {acc}"
+
+
+def test_metrics_table(spark, pipeline_out):
+    pages = generate_pages(spark, N, SEED, partitions=8)
+    scored = run_quality_pipeline(pages)
+    m = metrics_table(scored).toPandas()
+    assert int(m.n_docs.sum()) == N
+    assert int(m.n_keep.sum()) == int(pipeline_out.keep.sum())
+    # planted PII (class 8) must be visible in the metrics
+    assert int(m.pii_email.sum() + m.pii_phone.sum() + m.pii_ssn.sum() + m.pii_ipv4.sum()) > 0
