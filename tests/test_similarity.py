@@ -1,0 +1,61 @@
+"""ANN quality: hyperplane-LSH top-k recall vs the brute-force oracle.
+
+Note: the synthetic embeddings are unclustered uniform vectors (mean
+same-label cosine ≈ 0.002) — the hardest case for LSH. Recall numbers
+here validate the probability math (p_collide = (1-θ/π)^planes per
+table), not production tuning; with real clustered embeddings the same
+code gets high recall with far fewer comparisons.
+"""
+
+from __future__ import annotations
+
+from textcleaning_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signature,
+    token_jaccard_pairs,
+)
+from textcleaning_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    hyperplane_lsh_topk,
+)
+from textcleaning_spark.sources.registry import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = cosine_topk_bruteforce(emb, k=5).collect()
+    approx = hyperplane_lsh_topk(emb, k=5, n_planes=4, n_tables=8).collect()
+    truth = {(r["query_id"], r["item_id"]) for r in exact}
+    found = {(r["query_id"], r["item_id"]) for r in approx}
+    recall = len(truth & found) / len(truth)
+    # top-5 neighbors in this cloud sit at cos≈0.4-0.5 (θ≈62°):
+    # p ≈ 1-(1-(1-θ/π)^4)^8 ≈ 0.75 — assert comfortably below that
+    assert recall >= 0.5, f"LSH recall {recall}"
+    # approx scores must be a subset of true cosine values (no made-up
+    # similarities — only candidate pruning)
+    exact_scores = {(r["query_id"], r["item_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["item_id"])
+        if key in exact_scores:
+            assert abs(r["cosine"] - exact_scores[key]) < 1e-9
+
+
+def test_minhash_lsh_finds_true_near_dups(spark):
+    """Candidate generation must recall (nearly) all true near-dup
+    pairs: P(collide) = 1-(1-j^2)^bands ≈ 1.0 at j ≥ 0.96."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in token_jaccard_pairs(docs, "doc_id", "text", 0.96).collect()
+    }
+    sigs = minhash_signature(docs, "doc_id", "text", k=8)
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", k=8, bands=4).collect()
+    }
+    assert true_pairs, "fixture should contain near-dup pairs"
+    recall = len(true_pairs & cands) / len(true_pairs)
+    assert recall >= 0.9, f"near-dup candidate recall {recall}"
+    n = docs.count()
+    assert len(cands) < n * (n - 1) / 2  # strictly prunes the pair space

@@ -158,16 +158,17 @@ def simhash16(df: DataFrame, doc_col: str, text_col: str) -> DataFrame:
     toks = F.array_distinct(tokens(text_col))
     # per-token 16-bit hash: first 4 hex chars of md5
     th = lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 4), 16, 10).cast("bigint")  # noqa: E731
+    def _vote_merge(mask: int):
+        # closure (not default-arg) so the lambda arity stays (acc, t)
+        return lambda acc, t: acc + F.when(
+            th(t).bitwiseAND(F.lit(mask)) > 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
     bit_cols = []
     for bit in range(16):
         mask = 1 << bit
-        vote = F.aggregate(
-            toks,
-            F.lit(0).cast("bigint"),
-            lambda acc, t, m=mask: acc
-            + F.when(th(t).bitwiseAND(F.lit(m)) > 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        bit_cols.append(F.when(vote > 0, F.lit(1 << bit)).otherwise(F.lit(0)))
+        vote = F.aggregate(toks, F.lit(0).cast("bigint"), _vote_merge(mask))
+        bit_cols.append(F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0)))
     fp = bit_cols[0]
     for c in bit_cols[1:]:
         fp = fp + c

@@ -323,14 +323,18 @@ _QCFG = QualityConfig()
     """,
 )
 def doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: per-(lang, keep) document counts + integer-exact means."""
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
+    """Flagship: per-(lang, keep) document counts + integer-exact means.
+
+    Uses the optimized single-tokenize ``score_documents`` shape (the
+    naive re-derive-per-signal tree is ~5× slower; semantics identical
+    — the oracle comparison proves it)."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    scored = q.score_documents(docs, "text", _QCFG).select(
         "lang",
-        T.n_words("text").alias("n_words"),
+        "n_words",
         T.char_count_no_spaces("text").alias("n_token_chars"),
-        T.stop_word_count("text").alias("stop_word_count"),
-        T.keep_expr("text", _QCFG).alias("keep"),
+        "stop_word_count",
+        "keep",
     )
     return scored.groupBy("lang", "keep").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -849,4 +853,323 @@ def cleaned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.encode(F.array_join(kept, " "), "UTF-8")).alias("clean_hash"),
         F.size(kept).cast("bigint").alias("n_kept"),
+    )
+
+
+# ===========================================================================
+# Batch 3: set ops, semi/anti joins, descriptive stats, JSON, SimHash, LSH
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# 23. Descriptive statistics over idf (A10; test.py:44-57 golden shape)
+# ---------------------------------------------------------------------------
+@register(
+    "idf_descriptive_stats",
+    f"""
+    WITH {_DOC_TOKENS_CTE},
+    stats AS (
+        SELECT word,
+               round(ln((SELECT count(*) FROM documents)::DOUBLE
+                        / (count(DISTINCT doc_id) + 1)), 6) AS idf
+        FROM tok GROUP BY word
+    )
+    SELECT round(min(idf), 4) AS min_v,
+           round(max(idf), 4) AS max_v,
+           round(avg(idf), 4) AS mean_v,
+           round(quantile_cont(idf, 0.25), 4) AS q25_v,
+           round(quantile_cont(idf, 0.5), 4) AS median_v,
+           round(sum(idf), 4) AS sum_v,
+           count(*)::BIGINT AS n_v
+    FROM stats
+    """,
+)
+def idf_descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: min/max/mean/quantiles/sum in one aggregation. Values are
+    sums over ≤~100 rounded idf values — order noise is below the 4-dp
+    rounding for this vocabulary size."""
+    stats = tf_df_idf(spark, sf_dir).select("idf")
+    return cs.descriptive_stats(stats, "idf")
+
+
+# ---------------------------------------------------------------------------
+# 24. Vocabulary semi-join (J2/P10) — keep only in-vocab tokens
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_semijoin_counts",
+    f"""
+    WITH utok AS (
+        SELECT doc_id, upper(unnest({_TOK})) AS word FROM documents
+    ),
+    freq AS (SELECT word, count(*)::BIGINT AS tf FROM utok GROUP BY word),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, row_number() OVER (ORDER BY tf DESC, word ASC) AS rank_id
+            FROM freq WHERE tf >= 3
+        ) WHERE rank_id <= 30
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_vocab_tokens
+    FROM utok SEMI JOIN vocab ON utok.word = vocab.word
+    GROUP BY doc_id
+    """,
+)
+def vocab_semijoin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: tokens kept iff present in the top-k vocabulary —
+    broadcast left-semi join (sna_analysis.py:243 semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = cs.explode_tokens(docs, "doc_id", "text", upper=True)
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    vocab = cs.vocabulary(freq, top_n=30, min_freq=3).select("word")
+    kept = tok.join(F.broadcast(vocab), "word", "left_semi")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 25. Stop-word anti-join (J3) — the large-stop-list variant of P9
+# ---------------------------------------------------------------------------
+@register(
+    "stopword_antijoin_counts",
+    f"""
+    WITH {_DOC_TOKENS_CTE},
+    stops AS (SELECT unnest([{', '.join(f"'{w}'" for w in _SW)}]) AS sw)
+    SELECT doc_id, count(*)::BIGINT AS n_content_tokens
+    FROM tok ANTI JOIN stops ON lower(tok.word) = stops.sw
+    GROUP BY doc_id
+    """,
+)
+def stopword_antijoin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: tokens dropped iff present in the stop list — left_anti
+    against a broadcast stop table (the scalable form of the in-array
+    filter used when stop lists grow beyond literal-array size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = cs.explode_tokens(docs, "doc_id", "text")
+    stops = spark.createDataFrame([(w,) for w in _SW], ["sw"])
+    kept = tok.join(
+        F.broadcast(stops), F.lower(F.col("word")) == F.col("sw"), "left_anti"
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_content_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 26. Routed split + union (X3; the reference's planned KR/EN merge)
+# ---------------------------------------------------------------------------
+@register(
+    "routed_union_profile",
+    """
+    WITH latin AS (
+        SELECT 'latin' AS route, doc_id, n_chars FROM documents
+        WHERE lang IN ('en', 'de', 'fr', 'es')
+    ),
+    cjk AS (
+        SELECT 'cjk' AS route, doc_id, n_chars FROM documents
+        WHERE NOT lang IN ('en', 'de', 'fr', 'es')
+    ),
+    unioned AS (SELECT * FROM latin UNION ALL SELECT * FROM cjk)
+    SELECT route, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+    FROM unioned GROUP BY route
+    """,
+)
+def routed_union_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: language-routed processing branches merged with unionByName
+    (text_process.py:48-49's planned design, done declaratively)."""
+    docs = load_table(spark, sf_dir, "documents")
+    latin = docs.filter(F.col("lang").isin("en", "de", "fr", "es")).select(
+        F.lit("latin").alias("route"), "doc_id", "n_chars"
+    )
+    cjk = docs.filter(~F.col("lang").isin("en", "de", "fr", "es")).select(
+        F.lit("cjk").alias("route"), "doc_id", "n_chars"
+    )
+    return (
+        latin.unionByName(cjk)
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 27. Timestamp label formatting (F7; text_process_v2.py:263-264)
+# ---------------------------------------------------------------------------
+@register(
+    "event_day_labels",
+    """
+    SELECT printf('[%d]', (epoch_us(date_trunc('day', ts)) // 86400000000)::BIGINT)
+               AS day_label,
+           count(*)::BIGINT AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def event_day_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: '['+str(x)+']' label formatting — format_string over the
+    epoch-day number (engine-portable integer date math)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_num = (
+        F.unix_micros(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        / F.lit(86_400_000_000)
+    ).cast("bigint")
+    return (
+        ev.select(F.format_string("[%d]", day_num).alias("day_label"))
+        .groupBy("day_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 28. JSON property extraction (events.props) — semi-structured source
+# ---------------------------------------------------------------------------
+@register(
+    "event_props_stats",
+    """
+    SELECT event_type,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+           count(*)::BIGINT AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling: get_json_object pushdown-friendly scalar
+    extraction, aggregated per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object(F.col("props"), "$.k").cast("bigint")).alias("k_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 29. SimHash fingerprints (dedup family; 16-bit engine-portable)
+# ---------------------------------------------------------------------------
+def _simhash_sql(text_col: str) -> str:
+    toks = f"list_distinct(list_filter(string_split({text_col}, ' '), x -> x <> ''))"
+    bits = []
+    for bit in range(16):
+        mask = 1 << bit
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform({toks}, t -> CASE WHEN "
+            f"(('0x' || substring(md5(t), 1, 4))::BIGINT & {mask}) > 0 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {mask} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+@register(
+    "simhash_fingerprints",
+    f"SELECT doc_id, {_simhash_sql('text')} AS simhash FROM documents",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens as native expressions —
+    near-dup docs differ in few fingerprint bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash16(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# 30. MinHash-LSH candidate pairs — the linear-shuffle near-dup path
+# ---------------------------------------------------------------------------
+@register(
+    "lsh_candidate_pairs",
+    f"""
+    WITH sigs AS (
+        SELECT doc_id, {', '.join(dd.minhash_signature_sql('text', 8))}
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                   WHEN 0 THEN md5(sig_0 || '|' || sig_1)
+                   WHEN 1 THEN md5(sig_2 || '|' || sig_3)
+                   WHEN 2 THEN md5(sig_4 || '|' || sig_5)
+                   ELSE md5(sig_6 || '|' || sig_7)
+               END AS band_hash
+        FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over MinHash signatures: candidate generation joins
+    on (band, hash) buckets — O(docs × bands) shuffle, never O(docs²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signature(docs, "doc_id", "text", k=8)
+    return dd.lsh_candidate_pairs(sigs, "doc_id", k=8, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# 31. NLP annotation rollup (pandas-UDF kernel; rows-only check)
+# ---------------------------------------------------------------------------
+def nlp_tag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag histogram via the Arrow annotation kernel (non-SQL kernel →
+    no oracle; golden chains asserted in tests/test_nlp_kernels.py)."""
+    from textcleaning_spark.functions.nlp import with_annotations
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ann = with_annotations(docs, "text")
+    return (
+        ann.select(F.explode(F.col("nlp.tags")).alias("tag"))
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+_QUERIES["nlp_tag_distribution"] = nlp_tag_distribution
+
+
+# ---------------------------------------------------------------------------
+# 32. Alpha sweep (sna_analysis.py:187-191): all six cutoffs in ONE
+#     query — the reference loops the whole corpus per alpha
+# ---------------------------------------------------------------------------
+_ALPHAS = (0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+
+
+@register(
+    "idf_alpha_sweep",
+    f"""
+    WITH {_DOC_TOKENS_CTE},
+    stats AS (
+        SELECT word,
+               round(ln((SELECT count(*) FROM documents)::DOUBLE
+                        / (count(DISTINCT doc_id) + 1)), 6) AS idf
+        FROM tok GROUP BY word
+    ),
+    q AS (SELECT quantile_cont(idf, 0.25) AS q25 FROM stats),
+    alphas AS (SELECT unnest([{', '.join(str(a) for a in _ALPHAS)}]) AS alpha)
+    SELECT alphas.alpha,
+           round(q.q25 * alphas.alpha, 6) AS cutoff,
+           count(*) FILTER (WHERE stats.idf >= q.q25 * alphas.alpha)::BIGINT
+               AS n_survivors
+    FROM stats, q, alphas
+    GROUP BY alphas.alpha, q.q25
+    """,
+)
+def idf_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 sweep: one scan computes every alpha's cutoff + survivor
+    count (the reference reruns the corpus once per alpha)."""
+    stats = tf_df_idf(spark, sf_dir).select("idf")
+    q25 = stats.agg(F.expr("percentile(idf, 0.25)").alias("q25"))
+    alphas = spark.createDataFrame([(a,) for a in _ALPHAS], ["alpha"])
+    return (
+        stats.crossJoin(F.broadcast(q25))
+        .crossJoin(F.broadcast(alphas))
+        .groupBy("alpha", "q25")
+        .agg(
+            F.count(F.when(F.col("idf") >= F.col("q25") * F.col("alpha"), 1))
+            .cast("bigint")
+            .alias("n_survivors")
+        )
+        .select(
+            "alpha",
+            F.round(F.col("q25") * F.col("alpha"), 6).alias("cutoff"),
+            "n_survivors",
+        )
     )
