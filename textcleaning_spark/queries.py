@@ -1173,3 +1173,202 @@ def idf_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_survivors",
         )
     )
+
+
+# ===========================================================================
+# Batch 4: as-of join, shingle near-dup, subtoken counts, fingerprints
+# ===========================================================================
+from textcleaning_spark.operators.asof import asof_join
+
+
+# ---------------------------------------------------------------------------
+# 33. As-of join: each event ↔ latest order at-or-before it (custom op)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_event_orders",
+    """
+    WITH tagged AS (
+        SELECT user_id AS k, ts, 1 AS is_left, event_id AS tie,
+               NULL::BIGINT AS rpay
+        FROM events
+        UNION ALL
+        SELECT o_custkey AS k, o_orderdate AS ts, 0 AS is_left,
+               o_orderkey AS tie, o_orderkey AS rpay
+        FROM orders
+    ),
+    carried AS (
+        SELECT k, is_left,
+               last_value(rpay IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY ts, is_left, tie
+                   ROWS UNBOUNDED PRECEDING) AS asof_o_orderkey
+        FROM tagged
+    )
+    SELECT k AS user_id,
+           count(*)::BIGINT AS n_events,
+           count(asof_o_orderkey)::BIGINT AS n_matched,
+           max(asof_o_orderkey) AS max_order
+    FROM carried WHERE is_left = 1
+    GROUP BY k
+    """,
+)
+def asof_event_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (events → latest preceding order of the same
+    user), then per-user match stats. One shuffle on the key; no
+    range-explosion (operators/asof.py)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    # asof_join keys on a shared column NAME — align orders' key to it
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    joined = asof_join(
+        ev, orders,
+        key="user_id",
+        left_ts="ts", right_ts="o_orderdate",
+        right_payload="o_orderkey", left_tiebreak="event_id",
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("asof_o_orderkey").cast("bigint").alias("n_matched"),
+            F.max("asof_o_orderkey").alias("max_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 34. 3-gram shingle near-dup pairs (the n-gram variant of Jaccard)
+# ---------------------------------------------------------------------------
+@register(
+    "shingle_near_dup",
+    f"""
+    WITH sh AS (
+        SELECT doc_id AS doc,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len({_TOK}) - 1, 1)),
+                   i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')
+               ))) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(common::DOUBLE / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= 0.5
+    """,
+)
+def shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram shingle Jaccard ≥ 0.5 — order-sensitive near-dup
+    (token-set Jaccard is order-blind; shingles catch reorderings)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    shingles = F.array_distinct(
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    sh = docs.select(F.col("doc_id").alias("doc"), F.explode(shingles).alias("shingle"))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    common = (
+        a.join(b, (a.shingle == b.shingle_b) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 35. BPE-ish subtoken counting (training-data token accounting)
+# ---------------------------------------------------------------------------
+_SUBTOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "subtoken_counts",
+    f"""
+    SELECT lang,
+           sum(len(regexp_extract_all(text, '{_SUBTOKEN_RE}')))::BIGINT
+               AS n_subtokens,
+           sum({T.n_words_sql('text')})::BIGINT AS n_words,
+           count(*)::BIGINT AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def subtoken_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting for training pipelines: BPE-ish regex subtokens
+    (letter runs / digit runs / punctuation) vs whitespace words."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(_SUBTOKEN_RE), 0)))
+        .cast("bigint")
+        .alias("n_subtokens"),
+        F.sum(T.n_words("text")).cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 36. Rolling-hash document fingerprints (order-sensitive, integer-exact)
+# ---------------------------------------------------------------------------
+_FP_MOD = 2_147_483_647  # 2^31 - 1
+_FP_BASE = 131
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT, list_transform({_TOK},
+                   t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)),
+               (acc, h) -> (acc * {_FP_BASE} + h) % {_FP_MOD}
+           )::BIGINT AS fingerprint,
+           len({_TOK})::BIGINT AS n_tokens
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the token sequence (mod 2^31-1) —
+    an order-sensitive fingerprint; identical docs collide, any
+    reordering does not. Pure integer math, engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    tok_hash = lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * _FP_BASE + tok_hash(t)) % _FP_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        fp.cast("bigint").alias("fingerprint"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
