@@ -82,6 +82,49 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
+    round(cosine, 6) ≥ threshold.
+
+    Exact baseline for dedup-by-embedding (reference analogue: the
+    commented LSA doc-similarity path, text_process.py:412-421). The
+    O(N²) pair space is the oracle path; at scale the same scoring runs
+    inside hyperplane-LSH buckets (``hyperplane_lsh_topk``) or IVF cells
+    (operators/ivf.py), where the join key caps the pair space. The
+    threshold compares the ROUNDED cosine so the cut is reproducible
+    across engines (the sequential fold is bit-identical, rounding makes
+    that visible at the boundary).
+    """
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        _norm(F.col(vec_col)).alias("norm_a"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        _norm(F.col(vec_col)).alias("norm_b"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _plane(dim: int, plane_id: int, table_id: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 — no shared RNG."""
     import hashlib

@@ -1372,3 +1372,395 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.cast("bigint").alias("fingerprint"),
         F.size(toks).cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 37. Embedding-cosine near-duplicate pairs (dedup-by-embedding baseline)
+# ---------------------------------------------------------------------------
+_COS_T = 0.4
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                             (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                            (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= {_COS_T}
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (reference analogue: the
+    LSA doc-similarity path, text_process.py:412-421). O(N²) oracle
+    baseline; the LSH/IVF operators are the 100 TB path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(emb, "vec_id", "embedding", _COS_T)
+
+
+# ---------------------------------------------------------------------------
+# 38. lead / lag / running frames over events (W4 rowsBetween)
+# ---------------------------------------------------------------------------
+@register(
+    "events_lead_lag",
+    """
+    SELECT user_id, event_id,
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER w)::BIGINT AS gap_us,
+           row_number() OVER w AS run_n,
+           sum(floor(value * 100)::BIGINT) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS run_cents,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 frame coverage: lag gap, running count, running integer sum
+    (floor(value*100) so the accumulation is exact in both engines —
+    double window sums are order-sensitive), and lead. Partitioned by
+    user_id: the shuffle key is the natural entity key, so the window
+    never needs a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).cast("bigint").alias("gap_us"),
+        F.row_number().over(w).cast("bigint").alias("run_n"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).over(frame)
+        .cast("bigint")
+        .alias("run_cents"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 39. ntile deciles over document length
+# ---------------------------------------------------------------------------
+@register(
+    "doc_length_deciles",
+    """
+    SELECT decile, count(*)::BIGINT AS n_docs,
+           min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
+    FROM (
+        SELECT n_chars,
+               ntile(10) OVER (ORDER BY n_chars, doc_id)::BIGINT AS decile
+        FROM documents
+    )
+    GROUP BY decile
+    """,
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-decile profile (the length-bucketing signal used for skew
+    partitioning, operators/skew.py). ntile needs a global sort — fine
+    for a profile query; the pipeline's bucket column uses fixed bounds
+    so no global shuffle at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("n_chars", F.ntile(10).over(w).cast("bigint").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 40. ROLLUP revenue (region → nation hierarchy)
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region_g,
+           coalesce(n_name, 'ALL') AS nation_g,
+           count(*)::BIGINT AS n_orders,
+           (sum(o_totalprice::DECIMAL(12,2)))::DOUBLE AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP — with cube_profile, replaces the
+    reference's per-nation copy-pasted pipelines
+    (text_process_v6.py:172-199) with one grouped query. Exact money:
+    DECIMAL sum cast to double."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_g"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_g"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 41. Substring-occurrence counts (F14: doc.count('nitinol'), test.py:36-41)
+# ---------------------------------------------------------------------------
+_KW = "table"
+
+
+@register(
+    "keyword_hits",
+    f"""
+    SELECT lang,
+           sum((length(text) - length(replace(text, '{_KW}', '')))
+               // {len(_KW)})::BIGINT AS n_hits,
+           count(*) FILTER (length(text) <> length(replace(text, '{_KW}', '')))::BIGINT
+               AS n_docs_with_kw,
+           count(*)::BIGINT AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def keyword_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 substring counting via the length-difference identity —
+    pure JVM string ops, no regex engine divergence."""
+    docs = load_table(spark, sf_dir, "documents")
+    diff = F.length("text") - F.length(F.replace(F.col("text"), F.lit(_KW)))
+    return docs.groupBy("lang").agg(
+        F.sum(F.floor(diff / len(_KW))).cast("bigint").alias("n_hits"),
+        F.count_if(diff != 0).cast("bigint").alias("n_docs_with_kw"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 42. Marker-word language-ID (SQL-expressible stand-in) confusion matrix
+# ---------------------------------------------------------------------------
+# The real langid kernel (functions/langid.py) is a char-trigram pandas
+# UDF over the pages source; this query is the oracle-checkable argmax
+# machinery (P2 routing generalized) on the shared-vocabulary documents
+# table: score = marker-token hits, argmax with lang-ascending tie-break.
+_LANG_MARKERS = {
+    "de": ("batch", "window", "merge"),
+    "en": ("the", "a", "value", "row"),
+    "es": ("filter", "sort", "group"),
+    "fr": ("query", "scan", "line"),
+    "zh": ("vector", "hash", "stream"),
+}
+
+
+def _marker_hits_sql(markers: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_intersect(list_distinct({_TOK}), [{arr}]))"
+    )
+
+
+@register(
+    "langid_marker_confusion",
+    f"""
+    WITH scored AS (
+        SELECT lang,
+               {_marker_hits_sql(_LANG_MARKERS['de'])} AS h_de,
+               {_marker_hits_sql(_LANG_MARKERS['en'])} AS h_en,
+               {_marker_hits_sql(_LANG_MARKERS['es'])} AS h_es,
+               {_marker_hits_sql(_LANG_MARKERS['fr'])} AS h_fr,
+               {_marker_hits_sql(_LANG_MARKERS['zh'])} AS h_zh
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                    WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                    WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                    ELSE 'zh' END AS pred_lang,
+               greatest(h_de, h_en, h_es, h_fr, h_zh)::BIGINT AS best_hits
+        FROM scored
+    )
+    SELECT lang, pred_lang, count(*)::BIGINT AS n_docs,
+           sum(best_hits)::BIGINT AS total_hits
+    FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def langid_marker_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    distinct_toks = F.array_distinct(T.tokens("text"))
+    hits = {
+        lang: F.size(
+            F.array_intersect(distinct_toks, F.array(*[F.lit(m) for m in ms]))
+        )
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in sorted(_LANG_MARKERS):  # lang-ascending tie-break
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    scored = docs.select(
+        "lang", pred.alias("pred_lang"), best.cast("bigint").alias("best_hits")
+    )
+    return scored.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("best_hits").cast("bigint").alias("total_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 43. Set operations: INTERSECT / EXCEPT over derived vocabularies (X1, X2)
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_setops",
+    f"""
+    WITH long_w AS (
+        SELECT DISTINCT unnest({_TOK}) AS word FROM documents WHERE n_chars >= 400
+    ),
+    short_w AS (
+        SELECT DISTINCT unnest({_TOK}) AS word FROM documents WHERE n_chars < 150
+    )
+    SELECT
+        (SELECT count(*) FROM long_w)::BIGINT AS n_long,
+        (SELECT count(*) FROM short_w)::BIGINT AS n_short,
+        (SELECT count(*) FROM (SELECT word FROM long_w INTERSECT SELECT word FROM short_w))::BIGINT
+            AS n_both,
+        (SELECT count(*) FROM (SELECT word FROM long_w EXCEPT SELECT word FROM short_w))::BIGINT
+            AS n_long_only,
+        (SELECT count(*) FROM (SELECT word FROM short_w EXCEPT SELECT word FROM long_w))::BIGINT
+            AS n_short_only
+    """,
+)
+def vocab_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2: distinct-vocabulary INTERSECT / EXCEPT between length
+    strata (reference analogue: set difference of POS tag sets,
+    text_process_v5.py:168). Both vocabularies are tiny after
+    aggregation, so the set ops run on already-reduced inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    word = F.explode(F.array_distinct(T.tokens("text"))).alias("word")
+    long_w = docs.filter(F.col("n_chars") >= 400).select(word).distinct()
+    short_w = docs.filter(F.col("n_chars") < 150).select(word).distinct()
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    return (
+        cnt(long_w, "n_long")
+        .crossJoin(cnt(short_w, "n_short"))
+        .crossJoin(cnt(long_w.intersect(short_w), "n_both"))
+        .crossJoin(cnt(long_w.subtract(short_w), "n_long_only"))
+        .crossJoin(cnt(short_w.subtract(long_w), "n_short_only"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 44. Shipping-priority top-k (TPC-H Q3-shaped 3-way join + top-k)
+# ---------------------------------------------------------------------------
+_Q3_SEG = "BUILDING"
+_Q3_DATE = "1998-01-01"
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority,
+           (sum((l_extendedprice::DECIMAL(12,2))
+                * (1 - l_discount::DECIMAL(12,2))))::DOUBLE AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{_Q3_SEG}'
+      AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+      AND l_shipdate > TIMESTAMP '{_Q3_DATE}'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: selective dim filter broadcast into the fact join,
+    DECIMAL-exact revenue, top-k via TakeOrderedAndProject (no global
+    sort materialization). Predicates sit on base tables so Catalyst
+    pushes them into the parquet scans."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _Q3_SEG
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 45. Late-shipment priority counts (TPC-H Q4-shaped EXISTS semi-join)
+# ---------------------------------------------------------------------------
+@register(
+    "late_shipment_priorities",
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS: left-semi join with a non-equi residual
+    (l_shipdate > o_orderdate) on top of the equi key — the semi join
+    keeps only the key column flowing, never duplicating orders rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
