@@ -48,6 +48,11 @@ HEADLINE = [
     "cube_profile",
     "stem_surface_forms",
     "ann_lsh_topk",
+    "shipping_priority",
+    "late_shipment_priorities",
+    "rollup_revenue",
+    "events_lead_lag",
+    "embedding_near_dup_fast",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "50000"))

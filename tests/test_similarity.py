@@ -59,3 +59,31 @@ def test_minhash_lsh_finds_true_near_dups(spark):
     assert recall >= 0.9, f"near-dup candidate recall {recall}"
     n = docs.count()
     assert len(cands) < n * (n - 1) / 2  # strictly prunes the pair space
+
+
+def test_near_dup_blocked_matches_exact(spark):
+    """GEMM path finds the same pairs with the same cosines (±1 ulp at
+    the 6th decimal) as the oracle-exact sequential fold."""
+    from tests.conftest import SF_ORACLE
+    from textcleaning_spark.operators import similarity as sim
+    from textcleaning_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.cosine_near_dup_blocked(emb, threshold=0.35).collect()
+    }
+    assert exact, "threshold too high — empty comparison"
+    # identical key sets except possible boundary pairs within 1e-6
+    only_exact = {k for k in exact if k not in fast}
+    only_fast = {k for k in fast if k not in exact}
+    for k in only_exact:
+        assert abs(exact[k] - 0.35) < 2e-6, (k, exact[k])
+    for k in only_fast:
+        assert abs(fast[k] - 0.35) < 2e-6, (k, fast[k])
+    for k in set(exact) & set(fast):
+        assert abs(exact[k] - fast[k]) <= 1e-6, (k, exact[k], fast[k])

@@ -89,17 +89,26 @@ def average_rank(df: DataFrame, value_col: str, out_col: str = "idf_rank") -> Co
     SURVEY.md §7.4 risk 2: this must match exactly or keep/drop labels
     drift at rank boundaries.
 
-    The empty ``orderBy`` window is global — Spark executes it as a
-    single-partition sort, acceptable because it only ever runs over
-    vocabulary-sized aggregates, never raw documents.
+    Scale shape: a naive global ``rank()`` window funnels the WHOLE
+    table through one partition. Instead: aggregate counts per distinct
+    value (parallel shuffle), run the tiny cumulative window over the
+    |distinct values| rows only (for idf that's |distinct df counts| —
+    thousands, not the full vocabulary), and broadcast-join the rank
+    back. avg_rank(v) = #strictly-smaller + (ties + 1)/2 — identical
+    doubles to the window form (integer counts, exact halves).
     """
-    w = Window.orderBy(F.col(value_col))
-    ties = Window.partitionBy(F.col(value_col))
-    expr = (
-        F.rank().over(w).cast("double")
-        + (F.count(F.lit(1)).over(ties) - F.lit(1)).cast("double") / F.lit(2.0)
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__n"))
+    w_before = Window.orderBy(F.col(value_col)).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    return df.withColumn(out_col, expr)
+    ranked = counts.select(
+        value_col,
+        (
+            F.coalesce(F.sum("__n").over(w_before), F.lit(0)).cast("double")
+            + (F.col("__n") + 1).cast("double") / F.lit(2.0)
+        ).alias(out_col),
+    )
+    return df.join(F.broadcast(ranked), value_col)
 
 
 def average_rank_sql(value_col: str, out_col: str = "idf_rank") -> str:

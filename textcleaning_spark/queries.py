@@ -1764,3 +1764,15 @@ def late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
     )
+
+
+def embedding_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEMM (blocked numpy matmul over Arrow batches) form of
+    embedding_near_dup — the throughput path; equality to the exact
+    fold form asserted in tests/test_similarity.py (rows-only driver
+    check: accumulation order differs in the last ulp)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_blocked(emb, "vec_id", "embedding", _COS_T)
+
+
+_QUERIES["embedding_near_dup_fast"] = embedding_near_dup_fast
