@@ -1776,3 +1776,110 @@ def embedding_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUERIES["embedding_near_dup_fast"] = embedding_near_dup_fast
+
+
+# ---------------------------------------------------------------------------
+# 47. Char-bigram perplexity, trained AND scored relationally
+# ---------------------------------------------------------------------------
+# The KenLM-style scoring path ships as a broadcast pandas UDF
+# (functions/perplexity.py); this is its relational twin — model
+# estimation (bigram + prefix counts + charset size) and Laplace-
+# smoothed scoring in ONE lazy plan, no Python anywhere, so the whole
+# thing is oracle-checkable. The trained model is |charset|²-bounded,
+# so the scoring joins broadcast at any corpus scale.
+@register(
+    "char_bigram_ppl",
+    """
+    WITH bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(text)),
+                                     i -> substring(text, i, 2))) AS bg
+        FROM documents
+    ),
+    model AS (SELECT bg, count(*)::BIGINT AS c FROM bigrams GROUP BY bg),
+    prefix AS (
+        SELECT substring(bg, 1, 1) AS p, sum(c)::BIGINT AS pc
+        FROM model GROUP BY 1
+    ),
+    vocab AS (
+        SELECT count(DISTINCT ch)::BIGINT AS v FROM (
+            SELECT unnest(list_transform(range(1, length(text) + 1),
+                                         i -> substring(text, i, 1))) AS ch
+            FROM documents
+        )
+    )
+    SELECT b.doc_id,
+           round(exp(-avg(ln((m.c + 1)::DOUBLE / (p.pc + v.v)))), 4) AS ppl,
+           count(*)::BIGINT AS n_bigrams
+    FROM bigrams b
+    JOIN model m ON b.bg = m.bg
+    JOIN prefix p ON substring(b.bg, 1, 1) = p.p
+    CROSS JOIN vocab v
+    GROUP BY b.doc_id
+    """,
+)
+def char_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star perplexity signal (train + score in one plan).
+    Reference analogue: corpus-statistics-driven word scoring
+    (text_process_v5.py:79-95 generalized from counts to an LM)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("bg"),
+    )
+    model = bigrams.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    prefix = model.groupBy(F.substring("bg", 1, 1).alias("p")).agg(
+        F.sum("c").cast("bigint").alias("pc")
+    )
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+            ).alias("ch")
+        )
+        .agg(F.countDistinct("ch").cast("bigint").alias("v"))
+    )
+    lp = F.log((F.col("c") + 1).cast("double") / (F.col("pc") + F.col("v")))
+    return (
+        bigrams.join(F.broadcast(model), "bg")
+        .join(F.broadcast(prefix), F.substring("bg", 1, 1) == F.col("p"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.exp(-F.avg(lp)), 4).alias("ppl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 48. Multimodal feature-extraction profile (rows-only driver check)
+# ---------------------------------------------------------------------------
+def media_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → mapInPandas decode/feature kernel →
+    per-kind profile. Deterministic fake decode (real codecs absent in
+    this container — multimodal/media.py documents the integration
+    point); the Spark plumbing (binary schema, Arrow batches, row
+    expansion) is the real thing under test."""
+    from textcleaning_spark.multimodal.media import extract_features, generate_media
+
+    media = generate_media(spark, 300, seed=11)
+    feats = extract_features(media, mode="fake")
+    return (
+        feats.select(
+            "kind",
+            F.element_at("features", 1).alias("f0"),
+            F.size("features").alias("dim"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.round(F.sum("f0"), 6).alias("sum_f0"),
+            F.max("dim").cast("bigint").alias("feature_dim"),
+        )
+    )
+
+
+_QUERIES["media_feature_profile"] = media_feature_profile
