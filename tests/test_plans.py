@@ -78,3 +78,32 @@ def test_cooccurrence_single_self_join_shuffles_on_word(spark):
     # must be an equi-join (SortMerge/ShuffledHash), never NestedLoop
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    """Q3 shape: all three selective predicates reach their parquet
+    scans; top-10 runs as TakeOrderedAndProject, not a global sort."""
+    p = plan_str(Q.queries()["shipping_priority"](spark, SF_ORACLE))
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_rollup_single_shuffle(spark):
+    """ROLLUP = Expand + ONE hash aggregation pair; the dims broadcast
+    so the fact table shuffles exactly once (for the final agg)."""
+    p = plan_str(Q.queries()["rollup_revenue"](spark, SF_ORACLE))
+    assert "Expand" in p
+    assert p.count("BroadcastHashJoin") == 3
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_char_bigram_ppl_model_broadcasts(spark):
+    """The trained LM (|charset|²-bounded) must broadcast into the
+    scoring joins — the corpus side never shuffles for the join."""
+    p = plan_str(Q.queries()["char_bigram_ppl"](spark, SF_ORACLE))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
