@@ -176,7 +176,7 @@ def run_scaling(sf_dir: str, out_md: str) -> None:
             # 24 cores and the "8-core" run silently uses ~16.
             # Two independent process attempts, best-of, to damp VM noise.
             attempts = []
-            for _ in range(2):
+            for _ in range(int(__import__('os').environ.get('BENCH_SCALING_ATTEMPTS', '2'))):
                 out = subprocess.run(
                     ["taskset", "-c", cpu_sets[cores], sys.executable, "-c", code],
                     capture_output=True, text=True, timeout=1800,

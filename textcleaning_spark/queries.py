@@ -1883,3 +1883,55 @@ def media_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUERIES["media_feature_profile"] = media_feature_profile
+
+
+# ---------------------------------------------------------------------------
+# 49. Range (point-in-interval) join: events inside purchase follow-up windows
+# ---------------------------------------------------------------------------
+_RANGE_HOURS = 2
+
+
+@register(
+    "events_in_purchase_windows",
+    f"""
+    SELECT p.event_type,
+           count(*)::BIGINT AS n_matches,
+           count(DISTINCT p.event_id)::BIGINT AS n_events,
+           count(DISTINCT w.event_id)::BIGINT AS n_windows
+    FROM events p
+    JOIN events w
+      ON p.user_id = w.user_id
+     AND w.event_type = 'purchase'
+     AND p.event_type IN ('click', 'view', 'error')
+     AND p.ts >= w.ts
+     AND p.ts < w.ts + INTERVAL {_RANGE_HOURS} HOUR
+    GROUP BY p.event_type
+    """,
+)
+def events_in_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/ranges.py): each
+    click/view/error matched to every [purchase, +2h) window of the
+    same user. The operator equi-joins on (key, time bucket) with the
+    interval replicated per spanned bucket, so the shuffle never sees
+    an unbounded per-key pair space."""
+    from textcleaning_spark.operators.ranges import range_join_point_in_interval
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.filter(
+        F.col("event_type").isin("click", "view", "error")
+    ).select("event_id", "user_id", "ts", "event_type")
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {_RANGE_HOURS} HOURS")).alias("w_end"),
+    )
+    joined = range_join_point_in_interval(
+        points, windows, key="user_id", ts="ts", start="w_start", end="w_end",
+        bucket_seconds=3600,  # < window length: exercises interval replication
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.countDistinct("event_id").cast("bigint").alias("n_events"),
+        F.countDistinct("window_id").cast("bigint").alias("n_windows"),
+    )
