@@ -236,11 +236,21 @@ def idf_quantile_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def major_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: argmax POS tag per word (text_process_v5.py:98-119)."""
+    """A8: argmax POS tag per word (text_process_v5.py:98-119).
+
+    The rule tagger is a pure function of the word string, so ``tag``
+    is functionally dependent on ``word``: the generic two-shuffle
+    argmax (groupBy(word,tag) + partition window, kept generic in
+    cs.major_tag and exercised by stem_surface_forms) degenerates to
+    ONE groupBy(word) plus a projection — same rows, half the plan.
+    The oracle SQL keeps the generic argmax spec and proves equality."""
     docs = load_table(spark, sf_dir, "documents")
     tok = cs.explode_tokens(docs, "doc_id", "text")
-    tagged = tok.withColumn("tag", tagger.tag_word(F.col("word")))
-    return cs.major_tag(tagged)
+    return (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select("word", tagger.tag_word(F.col("word")).alias("major_pos"), "cnt")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -284,16 +294,21 @@ _STOP3_SQL = ", ".join(f"'{t}'" for t in stop_pos(3))
 )
 def word_keep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's quality filter (text_process_v5.py:164-169 +
-    P7 length rule): word survives iff rank, POS and length rules pass."""
+    P7 length rule): word survives iff rank, POS and length rules pass.
+
+    Single corpus pass: ``major_pos`` is a pure function of the word
+    (see major_pos above), so instead of tokenizing twice and joining
+    two word-level aggregates (the oracle SQL's spec shape), we project
+    the tag onto the ranked stats directly — one explode, one groupBy,
+    one broadcast rank-back, zero word-word joins."""
     ranked = idf_average_rank(spark, sf_dir)
-    mp = major_pos(spark, sf_dir).select("word", "major_pos")
-    joined = ranked.join(mp, "word")
+    out = ranked.withColumn("major_pos", tagger.tag_word(F.col("word")))
     keep = (
         (F.col("idf_rank") >= F.lit(_KEEP_K))
         & ~F.col("major_pos").isin(*stop_pos(3))
         & (F.length("word") > 1)
     )
-    return joined.select("word", "idf", "idf_rank", "major_pos", keep.alias("keep"))
+    return out.select("word", "idf", "idf_rank", "major_pos", keep.alias("keep"))
 
 
 # ---------------------------------------------------------------------------
