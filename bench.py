@@ -67,13 +67,20 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = Q.queries()
     # warmup: JVM/codegen/noop-sink initialization outside any timing
     spark.range(1000).write.format("noop").mode("overwrite").save()
-    qs[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     out: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
+        # steady state per query: first run compiles that plan's
+        # whole-stage codegen (JIT, driver-side only); timed runs
+        # measure engine throughput. Same methodology as the pipeline
+        # timing (warmup + best-of).
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        out[name] = round(min(times), 3)
     return out
 
 

@@ -214,67 +214,84 @@ def hyperplane_lsh_topk(
 
     Shuffle is on (table, bucket) keys — O(N·tables) rows — instead of
     the brute-force O(N²) pair space.
+
+    Bucket assignment is ONE Arrow-batched GEMM per partition
+    (``block @ planes.T`` for all tables/planes at once) — the
+    expression-tree form (h·tables literal-array fold-dots per row)
+    both compiled and ran an order of magnitude slower. Norms ride
+    along from the same pass. In-bucket scoring stays the exact
+    sequential fold so cosines match the brute-force baseline.
     """
-    def bucket(table_id: int) -> Column:
-        bits = []
-        for p in range(n_planes):
-            plane = _plane(dim, p, table_id)
-            plane_col = F.array(*[F.lit(v) for v in plane])
-            bits.append(
-                F.when(_dot(F.col(vec_col), plane_col) >= 0, F.lit(1 << p)).otherwise(
-                    F.lit(0)
+    import numpy as np
+    import pandas as pd
+
+    # (tables, planes, dim) — deterministic, tiny; serialized in the
+    # task closure, no shared RNG or broadcast needed.
+    planes = np.array(
+        [[_plane(dim, p, t) for p in range(n_planes)] for t in range(n_tables)]
+    )
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    src = emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+
+    def bucketize(batches):
+        flat = planes.reshape(n_tables * n_planes, dim)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["__v"].to_numpy()).astype("float64")
+            nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            signs = (mat @ flat.T) >= 0.0  # (n, tables*planes)
+            frames = []
+            for t in range(n_tables):
+                bits = signs[:, t * n_planes : (t + 1) * n_planes]
+                buckets = (bits.astype(np.int64) * weights).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__id": pdf["__id"].to_numpy(),
+                            "__v": pdf["__v"],
+                            "nrm": nrm,
+                            "table_id": np.int32(t),
+                            "bucket": buckets.astype(np.int32),
+                        }
+                    )
                 )
-            )
-        b = bits[0]
-        for c in bits[1:]:
-            b = b + c
-        return b.cast("int")
+            yield pd.concat(frames)
 
-    tables = []
-    for t in range(n_tables):
-        tables.append(
-            emb.select(
-                F.col(id_col),
-                F.col(vec_col),
-                _norm(F.col(vec_col)).alias("nrm"),
-                F.lit(t).alias("table_id"),
-                bucket(t).alias("bucket"),
+    bucketed = src.mapInPandas(
+        bucketize,
+        schema=(
+            f"__id long, __v array<float>, nrm double, "
+            f"table_id int, bucket int"
+        ),
+    )
+
+    # Score each bucket with ONE BLAS matmul (applyInPandas groups the
+    # bucketed rows by (table, bucket): a single shuffle of the vector
+    # payloads, vs TWO for a self-join on bucket id), then dedup
+    # cross-table candidates on the (query, item) id pair — the cosine
+    # is identical in every table, so max() is a pure dedup. At scale a
+    # hot bucket is still O(sz²) pairs: widen n_planes (halves expected
+    # bucket size per bit) before reaching for per-bucket caps.
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"query_id": [], "item_id": [], "cosine": []}).astype(
+                {"query_id": "int64", "item_id": "int64", "cosine": "float64"}
             )
+        mat = np.stack(pdf["__v"].to_numpy()).astype("float64")
+        nrm = pdf["nrm"].to_numpy()
+        ids = pdf["__id"].to_numpy()
+        sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), 6)
+        qi, ii = np.nonzero(~np.eye(n, dtype=bool))
+        return pd.DataFrame(
+            {"query_id": ids[qi], "item_id": ids[ii], "cosine": sims[qi, ii]}
         )
-    bucketed = tables[0]
-    for t in tables[1:]:
-        bucketed = bucketed.unionByName(t)
 
-    a = bucketed.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
-        F.col("nrm").alias("query_nrm"), "table_id", "bucket",
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"),
-        F.col("nrm").alias("item_nrm"),
-        F.col("table_id").alias("table_id_b"), F.col("bucket").alias("bucket_b"),
-    )
-    # Score INSIDE the bucket join, then dedup cross-table candidates on
-    # the (query, item) id pair only — the cosine is identical in every
-    # table, so max() is a pure dedup. This shuffles (id, id, double)
-    # rows instead of distinct() over full vector payloads, and each
-    # vector's norm is computed once per (vector, table), not per pair.
     scored = (
-        a.join(
-            b,
-            (a.table_id == b.table_id_b)
-            & (a.bucket == b.bucket_b)
-            & (F.col("query_id") != F.col("item_id")),
-        )
-        .select(
-            "query_id",
-            "item_id",
-            F.round(
-                _dot(F.col("query_vec"), F.col("item_vec"))
-                / (F.col("query_nrm") * F.col("item_nrm")),
-                6,
-            ).alias("cosine"),
-        )
+        bucketed.groupBy("table_id", "bucket")
+        .applyInPandas(score_bucket, schema="query_id long, item_id long, cosine double")
         .groupBy("query_id", "item_id")
         .agg(F.max("cosine").alias("cosine"))
     )
