@@ -709,6 +709,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERIES["ann_lsh_topk"] = ann_lsh_topk
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k — the clustered scale path (rows-only
+    check; recall + candidate-pruning asserted in tests)."""
+    from textcleaning_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4)
+
+
+_QUERIES["ann_ivf_topk"] = ann_ivf_topk
+
+
 # ---------------------------------------------------------------------------
 # 19. CUBE profile — replaces the reference's per-nation copy-pasted
 #     pipelines (text_process_v6.py:172-199) with one grouped query
