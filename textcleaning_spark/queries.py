@@ -1962,3 +1962,92 @@ def events_in_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").cast("bigint").alias("n_events"),
         F.countDistinct("window_id").cast("bigint").alias("n_windows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 50. Deterministic hash sampling — reproducible corpus downsampling
+# ---------------------------------------------------------------------------
+_SAMPLE_SALT = "s1"
+_SAMPLE_HEX_CUT = "19999999"  # first 8 md5 hex digits < 0x1999999A ≈ 10%
+
+
+@register(
+    "deterministic_sample",
+    f"""
+    SELECT lang,
+           count(*)::BIGINT AS n_sampled,
+           sum(n_chars)::BIGINT AS sampled_chars
+    FROM documents
+    WHERE substr(md5(doc_id::VARCHAR || ':{_SAMPLE_SALT}'), 1, 8)
+          < '{_SAMPLE_HEX_CUT}'
+    GROUP BY lang
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded ~10% sample by md5(doc_id||salt) hex prefix — identical
+    membership in every engine, run, and partitioning (unlike
+    ``df.sample``, whose membership depends on partition layout).
+    Training-data pipelines use this for reproducible held-out splits
+    and cheap profiling passes; the predicate is a plain codegen'd
+    expression, so it pushes WHERE-side work to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    member = (
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_SAMPLE_SALT}"))),
+            1,
+            8,
+        )
+        < _SAMPLE_HEX_CUT
+    )
+    return (
+        docs.filter(member)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 51. Stratified curriculum selection — top quantile per language
+# ---------------------------------------------------------------------------
+_CURRICULUM_PR = 0.8
+
+
+@register(
+    "curriculum_selection",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS pr
+        FROM documents
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_selected,
+           min(n_chars)::BIGINT AS min_chars,
+           max(n_chars)::BIGINT AS max_chars
+    FROM ranked
+    WHERE pr >= {_CURRICULUM_PR}
+    GROUP BY lang
+    """,
+)
+def curriculum_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified top-20% per language by document length — the
+    curriculum/quality-tier selection a training pipeline runs after
+    scoring. percent_rank = (rank-1)/(n-1) is an exact integer ratio,
+    so the cut is reproducible across engines; the window partitions by
+    lang (parallel), never globally."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= _CURRICULUM_PR)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
