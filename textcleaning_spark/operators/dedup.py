@@ -173,3 +173,57 @@ def simhash16(df: DataFrame, doc_col: str, text_col: str) -> DataFrame:
     for c in bit_cols[1:]:
         fp = fp + c
     return df.select(F.col(doc_col), fp.cast("bigint").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the
+    clustering step that turns near-dup PAIRS into dedup GROUPS
+    (cluster id = smallest member id, the canonical keeper).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round, labels flow across edges and each node keeps the minimum;
+    fixpoint in O(graph diameter) rounds. Near-dup graphs are
+    short-diameter (clusters of mutual near-copies), so this converges
+    in a handful of shuffles even at web scale; each round shuffles the
+    edge list once (join) + the label table once (groupBy min).
+    ``localCheckpoint`` after every round truncates the lineage so plan
+    size stays constant instead of growing per iteration.
+
+    Returns (node, comp): one row per node that appears in ``pairs``.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = edges.join(labels, edges["dst"] == labels["node"]).select(
+            edges["src"].alias("node"), labels["comp"]
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("node", F.col("comp").alias("old")), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -2051,3 +2051,71 @@ def curriculum_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 52. Near-dup clustering: connected components over shingle pairs
+# ---------------------------------------------------------------------------
+_SHINGLE_PAIRS_SQL = f"""
+    sh AS (
+        SELECT doc_id AS doc,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len({_TOK}) - 1, 1)),
+                   i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')
+               ))) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= 0.5
+    )
+"""
+
+
+@register(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comps AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id::BIGINT AS cluster_id,
+           count(*)::BIGINT AS n_docs,
+           min(node)::BIGINT AS keeper,
+           max(node)::BIGINT AS max_doc
+    FROM comps
+    GROUP BY cluster_id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUP assignment: shingle-Jaccard pairs → connected
+    components (operators/dedup.connected_components, min-label
+    propagation) → per-cluster size + canonical keeper (min doc_id).
+    The oracle computes the same components with a DuckDB recursive
+    CTE — transitive closure vs iterative propagation, same fixpoint."""
+    from textcleaning_spark.operators.dedup import connected_components
+
+    pairs = shingle_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return comps.groupBy(F.col("comp").cast("bigint").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("node").cast("bigint").alias("keeper"),
+        F.max("node").cast("bigint").alias("max_doc"),
+    )
