@@ -19,6 +19,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 _PROFILES: dict[str, set[str]] | None = None
+_INDEX: tuple[list[str], dict[str, tuple[int, ...]]] | None = None
 
 
 def _trigrams(s: str) -> list[str]:
@@ -41,27 +42,140 @@ def _build_profiles() -> dict[str, set[str]]:
     return profiles
 
 
+def _build_index() -> tuple[list[str], dict[str, tuple[int, ...]]]:
+    """Inverted profile: gram → tuple of language indices containing
+    it. One dict probe per DISTINCT text gram replaces |langs| set
+    probes per gram OCCURRENCE — ~5× on the scoring inner loop, with
+    identical scores (the fraction is still occurrence-weighted via
+    the per-text Counter)."""
+    profiles = _build_profiles()
+    langs = sorted(profiles)
+    inv: dict[str, list[int]] = {}
+    for i, lang in enumerate(langs):
+        for g in profiles[lang]:
+            inv.setdefault(g, []).append(i)
+    return langs, {g: tuple(v) for g, v in inv.items()}
+
+
 def predict_lang_py(text: str, default: str = "und") -> str:
     """Score = fraction of text trigrams present in each profile;
-    argmax with deterministic tie-break (lang asc); 'und' if no hits."""
-    global _PROFILES
-    if _PROFILES is None:
-        _PROFILES = _build_profiles()
-    grams = _trigrams(text or "")
-    if not grams:
-        return default
-    best_lang, best_score = default, 0.0
-    for lang in sorted(_PROFILES):
-        prof = _PROFILES[lang]
-        score = sum(1 for g in grams if g in prof) / len(grams)
-        if score > best_score:
-            best_lang, best_score = lang, score
-    return best_lang if best_score > 0.1 else default
+    argmax with deterministic tie-break (lang asc); 'und' if no hits.
+
+    Tie-break equivalence with the naive per-language loop: languages
+    are scanned in ascending order with a strict ``>``, so the first
+    language reaching the best score wins in both forms.
+    """
+    global _INDEX
+    if _INDEX is None:
+        _INDEX = _build_index()
+    langs, gram_idx = _INDEX
+    s = f"  {(text or '').lower()}  "
+    n = len(s) - 2
+    counts = Counter(s[i : i + 3] for i in range(n))
+    scores = [0] * len(langs)
+    for g, c in counts.items():
+        idxs = gram_idx.get(g)
+        if idxs is not None:
+            for i in idxs:
+                scores[i] += c
+    best_i, best = -1, 0.0
+    for i, sc in enumerate(scores):
+        f = sc / n
+        if f > best:
+            best, best_i = f, i
+    return langs[best_i] if best_i >= 0 and best > 0.1 else default
+
+
+_VINDEX = None  # (langs, char-id LUT, id bit width, direct mask table)
+
+
+def _build_vindex():
+    """Two-level direct-addressed profile index.
+
+    Level 1: a full-codepoint LUT (0x110000 × uint8) maps each char to
+    a small id — 0 for "appears in no profile gram". Level 2: trigram
+    code = ``id0<<2b | id1<<b | id2`` (b = bits per id) indexes a
+    direct uint8 table of language bitmasks. Any trigram containing an
+    id-0 char cannot collide with a profile code (profile ids are all
+    ≥ 1 and codes are place-value positional), so one gather per
+    position decides membership — no hashing, no searchsorted.
+    """
+    import numpy as np
+
+    profiles = _build_profiles()
+    langs = sorted(profiles)
+    chars = sorted({c for p in profiles.values() for g in p for c in g})
+    bits = max((len(chars) + 1).bit_length(), 2)
+    char_lut = np.zeros(0x110000, dtype=np.uint8 if bits <= 8 else np.uint16)
+    for i, ch in enumerate(chars, start=1):
+        char_lut[ord(ch)] = i
+    mask_table = np.zeros(1 << (3 * bits), dtype=np.uint8)
+    for i, lang in enumerate(langs):
+        for g in profiles[lang]:
+            code = (
+                (int(char_lut[ord(g[0])]) << (2 * bits))
+                | (int(char_lut[ord(g[1])]) << bits)
+                | int(char_lut[ord(g[2])])
+            )
+            mask_table[code] |= 1 << i
+    return langs, char_lut, bits, mask_table
+
+
+def predict_lang_batch(texts: pd.Series) -> pd.Series:
+    """Whole-batch scoring — zero per-row Python.
+
+    The batch is lowered, padded ("  text  " exactly like
+    :func:`_trigrams`), concatenated, and decoded to one uint32
+    code-point array (``utf-32-le`` — a single C-speed encode). Each
+    position becomes a trigram code via the char-id LUT + shifts; a
+    direct-addressed gather yields the language bitmask per position.
+    Trigrams spanning two adjacent rows need no masking: they are
+    always ``"   "`` (rows are space-padded both sides), which is in
+    no profile. Per-(row, lang) match counts are bincounts over row
+    ids. Scores, argmax, tie-breaks and the 0.1 threshold are exactly
+    :func:`predict_lang_py` (differential-tested).
+    """
+    import numpy as np
+
+    global _VINDEX
+    if _VINDEX is None:
+        _VINDEX = _build_vindex()
+    langs, char_lut, bits, mask_table = _VINDEX
+
+    padded = ("  " + texts.fillna("").astype(str).str.lower() + "  ").tolist()
+    n_rows = len(padded)
+    if n_rows == 0:
+        return pd.Series([], dtype="object")
+    lengths = np.fromiter((len(s) for s in padded), dtype=np.int32, count=n_rows)
+    joined = "".join(padded)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+
+    ids = char_lut[cp].astype(np.int32)
+    code = (ids[:-2] << (2 * bits)) | (ids[1:-1] << bits) | ids[2:]
+    masks = mask_table[code]
+
+    row_id = np.repeat(np.arange(n_rows, dtype=np.int32), lengths)[:-2]
+    n_grams = (lengths - 2).astype(np.float64)  # always >= 2
+    # one bincount over (row, mask) keys, then a tiny (2^L × L) 0/1
+    # matrix folds mask buckets into per-language counts — replaces L
+    # fancy-indexed bincount passes over the full position array
+    width = 1 << len(langs)
+    key = row_id * np.int32(width) + masks
+    counts2d = np.bincount(key, minlength=n_rows * width).reshape(n_rows, width)
+    unfold = np.array(
+        [[(m >> i) & 1 for i in range(len(langs))] for m in range(width)],
+        dtype=np.float64,
+    )
+    frac = (counts2d @ unfold) / n_grams[:, None]
+    best_i = frac.argmax(axis=1)  # first max == ascending-lang tie-break
+    best = frac[np.arange(n_rows), best_i]
+    out = np.where(best > 0.1, np.array(langs, dtype=object)[best_i], "und")
+    return pd.Series(out, index=texts.index, dtype="object")
 
 
 @pandas_udf(StringType())
 def langid_udf(texts: pd.Series) -> pd.Series:
     """Arrow-batched language ID. Model is a per-executor lazy global —
-    loaded once, reused across batches (north_rule: no per-row Python
-    *interpretation* of the plan; the kernel itself is batched)."""
-    return texts.map(lambda t: predict_lang_py(t))
+    loaded once, reused across batches; scoring is whole-batch numpy
+    (north_rule: no per-row Python anywhere in the hot path)."""
+    return predict_lang_batch(texts)
