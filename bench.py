@@ -92,27 +92,39 @@ def write_pages_corpus(spark, n_docs: int, path: str, n_files: int = 64) -> None
     generate_pages(spark, n_docs, seed=1234, partitions=n_files).write.parquet(path)
 
 
-def timed_pipeline(spark, src: str, n_docs: int, iterations: int = 3) -> dict:
-    """Time read→pipeline→noop-write on a pre-written corpus. A warmup
-    pass first (spawns/reuses Python UDF workers, compiles codegen);
-    then min over ``iterations`` steady-state runs."""
+def timed_pipeline(
+    spark, src: str, n_docs: int, iterations: int = 3, warmups: int = 1
+) -> dict:
+    """Time read→pipeline→noop-write on a pre-written corpus. Warmup
+    passes first (spawn/reuse Python UDF workers, compile codegen, let
+    JIT C2 reach steady state — at 32 task threads the compiler
+    threads compete with tasks, so one pass is NOT enough); then the
+    MEDIAN over ``iterations`` steady-state runs. Median, not min: on
+    a shared VM with ±15-40% ambient noise, min-of-N picks the one
+    lucky-quiet rep and distorts any cross-config ratio; the median is
+    robust and is applied identically to every parallelism level."""
     from textcleaning_spark.plans.pipeline import run_quality_pipeline
 
     # plan built ONCE (py4j plan construction is driver-side fixed cost,
-    # not engine throughput); warmup pass spawns/reuses UDF workers and
-    # compiles codegen before any timing
+    # not engine throughput); warmup passes spawn/reuse UDF workers and
+    # compile codegen before any timing
     scored = run_quality_pipeline(spark.read.parquet(src))
-    scored.write.format("noop").mode("overwrite").save()
+    for _ in range(max(warmups, 1)):
+        scored.write.format("noop").mode("overwrite").save()
     times = []
     for _ in range(iterations):
         t0 = time.perf_counter()
         scored.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
-    best = min(times)
+    times.sort()
+    med = times[len(times) // 2] if len(times) % 2 else (
+        times[len(times) // 2 - 1] + times[len(times) // 2]
+    ) / 2
     return {
         "n_docs": n_docs,
-        "sec": round(best, 3),
-        "docs_per_sec": round(n_docs / best, 1),
+        "sec": round(med, 3),
+        "docs_per_sec": round(n_docs / med, 1),
+        "runs": [round(t, 3) for t in times],
     }
 
 
@@ -173,7 +185,8 @@ def run_scaling(sf_dir: str, out_md: str) -> None:
                 "from bench import timed_pipeline; "
                 "from textcleaning_spark.session import get_spark; "
                 "s = get_spark('scaling', cores=%d); "
-                "r = timed_pipeline(s, %r, %d); s.stop(); "
+                "r = timed_pipeline(s, %r, %d, iterations=5, warmups=2); "
+                "s.stop(); "
                 "print('SCALING_JSON ' + json.dumps(r))"
                 % (REPO, cores, src, SCALING_DOCS)
             )
@@ -225,7 +238,9 @@ def run_scaling(sf_dir: str, out_md: str) -> None:
             "  time by ~30%).\n"
             "- Input parquet is written once with a fixed 64-file layout;\n"
             "  both levels read identical bytes (page-cache warmed by the\n"
-            "  untimed warmup pass). Timing = min of 3 steady-state runs of\n"
+            "  untimed warmup pass). Timing = median of 5 steady-state runs\n"
+            "  after 2 warmups (median, not min: robust to this VM's\n"
+            "  ±15-40% ambient noise; applied identically to both levels) of\n"
             "  read→pipeline→noop-write; plan construction excluded.\n"
             "- Hardware control: a pure-Python multiprocessing md5 benchmark\n"
             "  (no Spark) on this box scales at ~0.88 efficiency from 8→32\n"
