@@ -72,15 +72,76 @@ class BigramModel:
         return math.exp(-lp / len(t))
 
 
+class _VectorBigramModel:
+    """Vectorized twin of :class:`BigramModel`: a char-id LUT plus a
+    dense (K+1)² log-prob matrix (row 0 / col 0 = any character outside
+    the training charset — its add-one-smoothed probability depends
+    only on the known context counts, so one shared id is exact).
+    Scores a whole pandas batch with numpy gathers + one
+    weighted bincount per chunk; per-row log-prob sums accumulate in
+    the same left-to-right order as the scalar loop, so doubles match
+    bit-for-bit (differential-tested in tests/test_nlp_kernels.py).
+    """
+
+    _CHUNK_ROWS = 512  # cache-resident temporaries (see langid.py)
+
+    def __init__(self, counts: dict[str, int]):
+        import math
+
+        import numpy as np
+
+        scalar = BigramModel(counts)
+        chars = sorted({c for bg in counts for c in bg})
+        self.lut = np.zeros(0x110000, dtype=np.uint16)
+        for i, ch in enumerate(chars, start=1):
+            self.lut[ord(ch)] = i
+        k = len(chars) + 1
+        self.logp = np.empty((k, k), dtype=np.float64)
+        rev = [None] + chars  # id -> char; id 0 = out-of-charset
+        for i in range(k):
+            prev = rev[i] if i else "\x00"
+            for j in range(k):
+                ch = rev[j] if j else "\x00"
+                self.logp[i, j] = scalar.log_prob(prev, ch)
+        self.bos_id = int(self.lut[ord(BOS)])
+
+    def score_batch(self, texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.empty(len(texts), dtype=np.float64)
+        vals = texts.fillna("").astype(str).str.lower()
+        for lo in range(0, len(texts), self._CHUNK_ROWS):
+            chunk = vals.iloc[lo : lo + self._CHUNK_ROWS].tolist()
+            n = len(chunk)
+            lens = np.fromiter((len(s) for s in chunk), dtype=np.int64, count=n)
+            joined = (BOS + BOS.join(chunk)).encode("utf-32-le")
+            cp = np.frombuffer(joined, dtype=np.uint32)
+            ids = self.lut[cp]
+            lp = self.logp[ids[:-1], ids[1:]]
+            # transition p predicts char at p+1; transitions INTO a BOS
+            # (row separator) belong to no row — zero their weight
+            w = np.where(ids[1:] == self.bos_id, 0.0, lp)
+            row = np.repeat(np.arange(n, dtype=np.int64), lens + 1)[1:]
+            sums = np.bincount(row, weights=w, minlength=n)
+            with np.errstate(divide="ignore"):
+                out[lo : lo + n] = np.where(
+                    lens > 0, np.exp(-sums / np.maximum(lens, 1)), np.inf
+                )
+        return pd.Series(np.round(out, 6), index=texts.index)
+
+
 def perplexity_udf(spark, counts: dict[str, int]):
     """Build the scoring UDF with the model shipped via Spark broadcast
-    (one deserialization per executor, shared across batches)."""
+    (one deserialization per executor, shared across batches). Scoring
+    is whole-batch numpy (north_rule: no per-row Python)."""
     bc = spark.sparkContext.broadcast(counts)
+    state: dict[str, _VectorBigramModel] = {}
 
     @pandas_udf("double")
     def _ppl(texts: pd.Series) -> pd.Series:
-        model = BigramModel(bc.value)
-        return texts.map(lambda t: round(model.perplexity(t), 6))
+        if "m" not in state:
+            state["m"] = _VectorBigramModel(bc.value)
+        return state["m"].score_batch(texts)
 
     return _ppl
 
