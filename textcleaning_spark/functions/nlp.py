@@ -60,11 +60,25 @@ def lemmatize_py(word: str, tag: str) -> str:
     return w
 
 
+_WORD_CACHE: dict[str, tuple[str, str, str]] = {}
+_WORD_CACHE_MAX = 1_000_000  # all three kernels are pure functions of
+# the token, and real text is Zipfian — a per-executor memo turns the
+# per-token work into a dict hit for all but first occurrences
+
+
 def annotate_py(text: str) -> dict:
     toks = tokenize_py(text)
-    tags = [tag_word_py(t) for t in toks]
-    lemmas = [lemmatize_py(t, g) for t, g in zip(toks, tags)]
-    stems = [stem_word_py(t) for t in toks]
+    tags, lemmas, stems = [], [], []
+    for t in toks:
+        e = _WORD_CACHE.get(t)
+        if e is None:
+            g = tag_word_py(t)
+            e = (g, lemmatize_py(t, g), stem_word_py(t))
+            if len(_WORD_CACHE) < _WORD_CACHE_MAX:
+                _WORD_CACHE[t] = e
+        tags.append(e[0])
+        lemmas.append(e[1])
+        stems.append(e[2])
     return {"tokens": toks, "tags": tags, "lemmas": lemmas, "stems": stems}
 
 
