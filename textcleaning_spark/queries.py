@@ -2119,3 +2119,114 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").cast("bigint").alias("keeper"),
         F.max("node").cast("bigint").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 53. Volume shipping (TPC-H Q7-shaped): revenue between nation pairs
+# ---------------------------------------------------------------------------
+@register(
+    "volume_shipping",
+    """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           year(l_shipdate)::BIGINT AS ship_year,
+           count(*)::BIGINT AS n_items,
+           (sum((l_extendedprice::DECIMAL(12,2))
+                * (1 - l_discount::DECIMAL(12,2))))::DOUBLE AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped: the fact joins two broadcast dim chains (customer→
+    nation and supplier→nation) without ever shuffling; the cross-
+    nation predicate prunes same-nation pairs before aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 54. Priority class counts by return flag (TPC-H Q12-shaped CASE agg)
+# ---------------------------------------------------------------------------
+_Q12_LATE_DAYS = 60
+
+
+@register(
+    "priority_class_by_returnflag",
+    f"""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL {_Q12_LATE_DAYS} DAY
+    GROUP BY l_returnflag
+    """,
+)
+def priority_class_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped: conditional (CASE) aggregation over a non-equi
+    lateness predicate folded into the join; both branches counted in
+    one pass, no second scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            F.broadcast(o),
+            (li.l_orderkey == o.o_orderkey)
+            & (
+                li.l_shipdate
+                >= o.o_orderdate + F.expr(f"INTERVAL {_Q12_LATE_DAYS} DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
