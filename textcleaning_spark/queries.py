@@ -2230,3 +2230,70 @@ def priority_class_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 55. Incremental snapshot merge (upsert) — crawl re-ingest pattern
+# ---------------------------------------------------------------------------
+# A fresh crawl re-fetches some pages (updates), finds new ones
+# (inserts), and misses others (carry-over). The merge is one FULL
+# OUTER join on the key + coalesce — the relational core of
+# MERGE INTO, format-independent (Iceberg/Delta run the same plan).
+# Updates are simulated deterministically: every doc_id ≡ 0 (mod 7)
+# arrives re-crawled with prefixed text; ids shifted by +1000000 for
+# doc_id ≡ 1 (mod 13) simulate brand-new pages.
+
+
+@register(
+    "incremental_upsert",
+    """
+    WITH updates AS (
+        SELECT doc_id, 'recrawl: ' || text AS text, lang
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang
+        FROM documents WHERE doc_id % 13 = 1
+    ),
+    merged AS (
+        SELECT coalesce(u.doc_id, d.doc_id) AS doc_id,
+               coalesce(u.text, d.text) AS text,
+               coalesce(u.lang, d.lang) AS lang,
+               CASE WHEN d.doc_id IS NULL THEN 'insert'
+                    WHEN u.doc_id IS NULL THEN 'carry'
+                    ELSE 'update' END AS action
+        FROM documents d
+        FULL OUTER JOIN updates u ON d.doc_id = u.doc_id
+    )
+    SELECT action,
+           count(*)::BIGINT AS n_rows,
+           sum(length(text))::BIGINT AS total_chars
+    FROM merged
+    GROUP BY action
+    """,
+)
+def incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-shaped upsert: full outer join on the document key,
+    coalesce per column, action label per row. At scale the join
+    shuffles both sides on doc_id once; with a bucketed base table
+    (operators/bucketing.py) the base side's exchange disappears."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    upd = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.lit("recrawl: "), F.col("text")).alias("text"), "lang"
+    )
+    ins = d.filter(F.col("doc_id") % 13 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    u = upd.unionByName(ins)
+    du = d.alias("d").join(u.alias("u"), F.col("d.doc_id") == F.col("u.doc_id"), "full_outer")
+    merged = du.select(
+        F.coalesce(F.col("u.doc_id"), F.col("d.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("u.text"), F.col("d.text")).alias("text"),
+        F.when(F.col("d.doc_id").isNull(), "insert")
+        .when(F.col("u.doc_id").isNull(), "carry")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
