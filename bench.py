@@ -55,7 +55,7 @@ HEADLINE = [
     "embedding_near_dup_fast",
 ]
 
-PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "50000"))
+PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))
 
 
 def _consume(df) -> int:
