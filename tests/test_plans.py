@@ -107,3 +107,27 @@ def test_char_bigram_ppl_model_broadcasts(spark):
     p = plan_str(Q.queries()["char_bigram_ppl"](spark, SF_ORACLE))
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
+
+
+def test_volume_shipping_all_broadcast(spark):
+    """Q7 shape: the fact streams through 5 broadcast joins; no
+    sort-merge, no pre-agg fact shuffle."""
+    p = plan_str(Q.queries()["volume_shipping"](spark, SF_ORACLE))
+    assert p.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_upsert_single_shuffle_per_side(spark):
+    """MERGE shape: full-outer join shuffles each side exactly once on
+    the key (full outer cannot broadcast)."""
+    p = plan_str(Q.queries()["incremental_upsert"](spark, SF_ORACLE))
+    assert "FullOuter" in p
+    assert p.count("Exchange hashpartitioning(doc_id") == 2
+
+
+def test_range_join_equi_prefilter(spark):
+    """Range join must run as an equi join on (key, bucket) with the
+    time residual INSIDE the join — never a cartesian/BNLJ."""
+    p = plan_str(Q.queries()["events_in_purchase_windows"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
