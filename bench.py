@@ -53,6 +53,14 @@ HEADLINE = [
     "rollup_revenue",
     "events_lead_lag",
     "embedding_near_dup_fast",
+    "volume_shipping",
+    "priority_class_by_returnflag",
+    "events_in_purchase_windows",
+    "asof_event_orders",
+    "near_dup_clusters",
+    "deterministic_sample",
+    "curriculum_selection",
+    "incremental_upsert",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

@@ -208,22 +208,25 @@ def connected_components(
     )
     for _ in range(max_iter):
         neigh = edges.join(labels, edges["dst"] == labels["node"]).select(
-            edges["src"].alias("node"), labels["comp"]
+            edges["src"].alias("node"),
+            labels["comp"],
+            F.lit(None).cast("long").alias("own"),
         )
+        own = labels.select("node", "comp", F.col("comp").alias("own"))
+        # convergence detection rides the SAME aggregation: each node's
+        # previous label travels as `own` (min ignores the neighbor
+        # rows' NULLs), so "did anything change" is a cheap scan of the
+        # checkpointed result — no extra join round-trip per iteration
         new_labels = (
-            labels.unionByName(neigh)
+            own.unionByName(neigh)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("own").alias("own"))
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.select("node", F.col("comp").alias("old")), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("comp") != F.col("own")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     return labels
