@@ -2297,3 +2297,45 @@ def incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 56. Small-quantity revenue (TPC-H Q17-shaped correlated subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "small_quantity_revenue",
+    """
+    SELECT round((sum(l_extendedprice::DECIMAL(12,2)))::DOUBLE / 7.0, 4)
+               AS avg_yearly,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem
+    JOIN (
+        SELECT l_partkey AS p_key,
+               0.2 * avg(l_quantity) AS qty_cut
+        FROM lineitem GROUP BY l_partkey
+    ) ON l_partkey = p_key
+    WHERE l_quantity < qty_cut
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped: the correlated 'below 20% of this part's average
+    quantity' subquery decorrelates into one aggregate-then-join —
+    written directly in that decorrelated form (what Catalyst rewrites
+    the subquery into), with the per-part aggregate broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = (
+        li.groupBy(F.col("l_partkey").alias("p_key"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
+    )
+    return (
+        li.join(F.broadcast(cuts), li.l_partkey == cuts.p_key)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
