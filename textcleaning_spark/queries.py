@@ -1297,9 +1297,15 @@ def asof_event_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 3-gram shingle Jaccard ≥ 0.5 — order-sensitive near-dup
-    (token-set Jaccard is order-blind; shingles catch reorderings)."""
+    (token-set Jaccard is order-blind; shingles catch reorderings).
+
+    The token array is materialized ONCE into a column before the
+    shingle expression references it four times — CollapseProject
+    would otherwise inline four copies of the split (the CLAUDE.md
+    pipeline-shape rule; measured ~3× on this query)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
+    toked = docs.select(F.col("doc_id").alias("doc"), T.tokens("text").alias("__toks"))
+    toks = F.col("__toks")
     shingles = F.array_distinct(
         F.when(
             F.size(toks) >= 3,
@@ -1309,7 +1315,7 @@ def shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    sh = docs.select(F.col("doc_id").alias("doc"), F.explode(shingles).alias("shingle"))
+    sh = toked.select("doc", F.explode(shingles).alias("shingle"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), F.col("shingle").alias("shingle_b"))
