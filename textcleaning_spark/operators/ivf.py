@@ -3,18 +3,22 @@ scale path for embedding search, complementing hyperplane LSH.
 
 Index build: k pseudo-centroids chosen deterministically (the k
 corpus vectors with the smallest md5(vec_id) — a seeded sample without
-any RNG state), then every vector is assigned to its nearest centroid
-(broadcast k×d to executors; one scan, no shuffle until the final
-groupBy). Query: probe the ``nprobe`` nearest centroid lists only —
-comparisons drop from O(N) to O(N·nprobe/k) per query.
+any RNG state), then every vector is assigned to its nearest centroid.
+Query: probe the ``nprobe`` nearest centroid lists only — comparisons
+drop from O(N) to O(N·nprobe/k) per query.
+
+Compute shape: the centroid matrix is tiny (k×d), so assignment is ONE
+Arrow-batched GEMM per partition (``block @ centroids.T``) with the
+matrix shipped in the task closure — no shuffle, no per-row fold
+expressions (the expression-tree form ran ~10× slower, same lesson as
+similarity.hyperplane_lsh_topk). In-cell scoring is one BLAS matmul
+per (cell, query-block) via cogrouped applyInPandas.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from textcleaning_spark.operators.similarity import _dot, _norm
 
 
 def choose_centroids(emb: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
@@ -34,29 +38,59 @@ def choose_centroids(emb: DataFrame, id_col: str, vec_col: str, k: int) -> DataF
     )
 
 
+def _collect_centroids(centroids: DataFrame):
+    """(ids int64 array, row-normalized float64 matrix) from the tiny
+    centroid table — one driver collect, shipped via task closures."""
+    import numpy as np
+
+    rows = centroids.orderBy("centroid_id").collect()
+    ids = np.array([r["centroid_id"] for r in rows], dtype="int64")
+    mat = np.stack([np.asarray(r["centroid_vec"], dtype="float64") for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
 def assign_to_centroids(
     emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str,
     nprobe: int = 1,
 ) -> DataFrame:
-    """Rank centroids per vector by cosine; keep the top ``nprobe``.
-    The centroid table is broadcast — the corpus never shuffles."""
-    pairs = emb.join(F.broadcast(centroids))
-    scored = pairs.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("centroid_id"),
-        (
-            _dot(F.col(vec_col), F.col("centroid_vec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("centroid_vec")))
-        ).alias("c_cos"),
+    """Rank centroids per vector by cosine (one GEMM per Arrow batch);
+    keep the top ``nprobe`` (ties broken by centroid id asc). The
+    corpus never shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    c_ids, c_mat = _collect_centroids(centroids)
+    src = emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["__v"].to_numpy()).astype("float64")
+            mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cos = mat_n @ c_mat.T  # (n, k)
+            # top-nprobe by (cosine desc, centroid_id asc): c_mat rows
+            # are already in centroid_id order, and argsort is stable
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            frames = []
+            for p in range(order.shape[1]):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__id": pdf["__id"].to_numpy(),
+                            "__v": pdf["__v"],
+                            "centroid_id": c_ids[order[:, p]],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    out = src.mapInPandas(
+        assign, schema="__id long, __v array<float>, centroid_id long"
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("c_cos").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select(id_col, vec_col, "centroid_id")
+    return out.select(
+        F.col("__id").alias(id_col), F.col("__v").alias(vec_col), "centroid_id"
     )
 
 
@@ -69,7 +103,11 @@ def ivf_topk(
     nprobe: int = 4,
 ) -> DataFrame:
     """IVF search: items live in their single nearest list; queries
-    probe their ``nprobe`` nearest lists; exact cosine within lists."""
+    probe their ``nprobe`` nearest lists; exact cosine within lists
+    (one BLAS matmul per cell via cogrouped applyInPandas)."""
+    import numpy as np
+    import pandas as pd
+
     cents = choose_centroids(emb, id_col, vec_col, n_centroids)
     items = assign_to_centroids(emb, cents, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("item_id"),
@@ -79,22 +117,36 @@ def ivf_topk(
     queries = assign_to_centroids(emb, cents, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        F.col("centroid_id").alias("centroid_id_q"),
+        "centroid_id",
     )
-    cands = queries.join(
-        items,
-        (F.col("centroid_id_q") == F.col("centroid_id"))
-        & (F.col("query_id") != F.col("item_id")),
+
+    def score_cell(_key, q_pdf: pd.DataFrame, i_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(q_pdf) == 0 or len(i_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "item_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "item_id": "int64", "cosine": "float64"})
+        q = np.stack(q_pdf["query_vec"].to_numpy()).astype("float64")
+        i = np.stack(i_pdf["item_vec"].to_numpy()).astype("float64")
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        i /= np.linalg.norm(i, axis=1, keepdims=True)
+        sims = np.round(q @ i.T, 6)
+        qid = q_pdf["query_id"].to_numpy()
+        iid = i_pdf["item_id"].to_numpy()
+        qq, ii = np.nonzero(qid[:, None] != iid[None, :])
+        return pd.DataFrame(
+            {"query_id": qid[qq], "item_id": iid[ii], "cosine": sims[qq, ii]}
+        )
+
+    scored = (
+        queries.groupBy("centroid_id")
+        .cogroup(items.groupBy("centroid_id"))
+        .applyInPandas(score_cell, schema="query_id long, item_id long, cosine double")
+        # a query probing several cells can meet the same item once per
+        # cell only if the item were in several lists — items have one
+        # list, so this groupBy is a safety dedup, not a hot path
+        .groupBy("query_id", "item_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
-    scored = cands.select(
-        "query_id",
-        "item_id",
-        F.round(
-            _dot(F.col("query_vec"), F.col("item_vec"))
-            / (_norm(F.col("query_vec")) * _norm(F.col("item_vec"))),
-            6,
-        ).alias("cosine"),
-    ).distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("item_id").asc()
     )
