@@ -87,6 +87,54 @@ def test_langid_distinguishes_languages():
     assert predict_lang_py("") == "und"
 
 
+_EDGE_TEXTS = [
+    "", " ", "a", "zz", None, "the stream filter window quality table",
+    "flux fenetre tableau document qualite", "ZZQQ ### $$$",
+    "naïve café Straße — 한국어 특허 문서",  # multi-byte codepoints
+    "x" * 3000,
+]
+
+
+def test_langid_batch_matches_scalar_whole_corpus(spark):
+    """Whole-batch differential: predict_lang_batch vs the scalar twin
+    over the synthetic corpus + adversarial edge rows (the guarantee
+    langid.py's docstring states)."""
+    import pandas as pd
+
+    from textcleaning_spark.functions.langid import predict_lang_batch
+
+    texts = [r["text"] for r in generate_pages(spark, 300, seed=11, partitions=4)
+             .select("text").collect()] + _EDGE_TEXTS
+    got = predict_lang_batch(pd.Series(texts, dtype="object")).tolist()
+    want = [predict_lang_py(t or "") for t in texts]
+    assert got == want
+
+
+def test_perplexity_batch_matches_scalar_whole_corpus(spark):
+    """Whole-batch differential: _VectorBigramModel.score_batch vs the
+    scalar BigramModel over the synthetic corpus + edge rows
+    (perplexity.py's stated bit-for-bit guarantee, visible through the
+    round-6 output contract)."""
+    import math
+
+    import pandas as pd
+
+    from textcleaning_spark.functions.perplexity import _VectorBigramModel
+
+    pages = generate_pages(spark, 200, seed=13, partitions=4)
+    counts = train_char_bigram(pages.limit(80), "text")
+    scalar = BigramModel(counts)
+    vec = _VectorBigramModel(counts)
+    texts = [r["text"] for r in pages.select("text").collect()] + _EDGE_TEXTS
+    got = vec.score_batch(pd.Series(texts, dtype="object")).tolist()
+    for g, t in zip(got, texts):
+        w = scalar.perplexity(t or "")
+        if math.isinf(w):
+            assert math.isinf(g)
+        else:
+            assert g == round(w, 6), (t, g, w)
+
+
 def test_perplexity_clean_below_junk(spark):
     pages = generate_pages(spark, 100, seed=5, partitions=4)
     counts = train_char_bigram(pages.limit(50), "text")

@@ -109,12 +109,27 @@ def test_char_bigram_ppl_model_broadcasts(spark):
     assert "SortMergeJoin" not in p
 
 
-def test_volume_shipping_all_broadcast(spark):
-    """Q7 shape: the fact streams through 5 broadcast joins; no
-    sort-merge, no pre-agg fact shuffle."""
+def test_volume_shipping_dims_broadcast_no_cartesian(spark):
+    """Q7 shape: the BOUNDED dim (nation, both aliases) must broadcast;
+    orders/customer/supplier are left to size stats + AQE (they'd OOM
+    as forced broadcasts at 100 TB). Never a cartesian/BNLJ."""
     p = plan_str(Q.queries()["volume_shipping"](spark, SF_ORACLE))
-    assert p.count("BroadcastHashJoin") == 5
-    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # the two nation legs
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q12_q17_no_forced_fact_broadcast(spark):
+    """The Q12/Q17 plans must not carry a planner-forced broadcast hint
+    on a fact-sized side: the logical plan has zero ResolvedHint /
+    hints, so whatever broadcasts at bench scale is a SIZE decision
+    (safe: flips to shuffle join at 100 TB), not a forced one."""
+    for name in ("priority_class_by_returnflag", "small_quantity_revenue"):
+        df = Q.queries()[name](spark, SF_ORACLE)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, name
+        p = plan_str(df)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
 
 
 def test_upsert_single_shuffle_per_side(spark):

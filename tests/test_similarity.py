@@ -87,3 +87,33 @@ def test_near_dup_blocked_matches_exact(spark):
         assert abs(fast[k] - 0.35) < 2e-6, (k, fast[k])
     for k in set(exact) & set(fast):
         assert abs(exact[k] - fast[k]) <= 1e-6, (k, exact[k], fast[k])
+
+
+def test_near_dup_blocked_gate_routes_to_ivf_cells(spark):
+    """Above the broadcast budget the GEMM near-dup must NOT collect
+    the corpus: it routes through per-IVF-cell scoring. Recall vs the
+    exact pair set stays high (near-dup pairs land in co-probed cells)
+    and every reported cosine is a true cosine (pruning-only error)."""
+    from textcleaning_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    routed = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.cosine_near_dup_blocked(
+            emb, threshold=0.35, broadcast_max_vectors=0
+        ).collect()
+    }
+    assert exact
+    found = set(exact) & set(routed)
+    recall = len(found) / len(exact)
+    assert recall >= 0.6, f"IVF-cell near-dup recall {recall}"
+    for k in routed:
+        if k in exact:
+            assert abs(routed[k] - exact[k]) <= 1e-6
+        else:
+            # boundary-only novelty: GEMM rounding at the threshold
+            assert abs(routed[k] - 0.35) < 2e-6, (k, routed[k])

@@ -53,6 +53,21 @@ STOP_WORDS: tuple[str, ...] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Connected-components (near-dup clustering) execution knob: below this many
+# PAIRS the component labeling runs as a single driver-side union-find (one
+# job, no iteration); above it the distributed min-label loop takes over.
+# A 100 TB job that must never collect sets this to 0.
+# ---------------------------------------------------------------------------
+CC_DRIVER_THRESHOLD: int = 1_000_000
+
+# Embedding-count budget for whole-corpus GEMM near-dup: below this the
+# normalized matrix is collected once and broadcast (fast path); above it the
+# same BLAS kernel runs per IVF cell so nothing corpus-sized ever reaches the
+# driver (operators/similarity.cosine_near_dup_blocked).
+GEMM_BROADCAST_MAX_VECTORS: int = 2_000_000
+
+
 @dataclass(frozen=True)
 class QualityConfig:
     """Document-level keep/drop heuristic thresholds (Gopher/C4-style).

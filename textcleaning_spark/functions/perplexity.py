@@ -27,15 +27,23 @@ def train_char_bigram(df: DataFrame, text_col: str = "text") -> dict[str, int]:
     """Distributed training pass: one row per character bigram →
     hash-aggregated counts. Returns the (small) count dict; the unigram
     context counts are derivable (key[0] marginal)."""
-    lowered = F.lower(F.col(text_col))
-    padded = F.concat(F.lit(BOS), lowered)
-    # bigram i = substring(i, 2); sequence over the string length
+    # The BOS pad goes through F.lit, NEVER a SQL string literal: Spark
+    # SQL does not understand Python's \xNN escapes, so an interpolated
+    # repr('\x02') silently becomes the 3-char string "x02" and pollutes
+    # the model with phantom bigrams (caught by the whole-batch
+    # differential test). The padded string is materialized as a column
+    # so the transform lambda references it by NAME only.
+    padded = F.concat(F.lit(BOS), F.lower(F.col(text_col)))
+    # empty text → padded is just BOS → sequence(1, 0) would default to
+    # step -1 and emit phantom rows; guard the bound
     bigrams = F.expr(
-        f"transform(sequence(1, length({BOS!r} || lower({text_col})) - 1), "
-        f"i -> substring({BOS!r} || lower({text_col}), i, 2))"
+        "CASE WHEN length(__padded) > 1 THEN "
+        "transform(sequence(1, length(__padded) - 1), "
+        "i -> substring(__padded, i, 2)) ELSE array() END"
     )
     counts = (
-        df.select(F.explode(bigrams).alias("bg"))
+        df.select(padded.alias("__padded"))
+        .select(F.explode(bigrams).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
@@ -92,6 +100,11 @@ class _VectorBigramModel:
 
         scalar = BigramModel(counts)
         chars = sorted({c for bg in counts for c in bg})
+        # BOS always gets its OWN id: if it fell into the shared
+        # out-of-charset id 0, the row-separator zeroing below would
+        # also zero transitions into every unknown character.
+        if BOS not in chars:
+            chars.append(BOS)
         self.lut = np.zeros(0x110000, dtype=np.uint16)
         for i, ch in enumerate(chars, start=1):
             self.lut[ord(ch)] = i
@@ -104,6 +117,7 @@ class _VectorBigramModel:
                 ch = rev[j] if j else "\x00"
                 self.logp[i, j] = scalar.log_prob(prev, ch)
         self.bos_id = int(self.lut[ord(BOS)])
+        assert self.bos_id != 0
 
     def score_batch(self, texts: pd.Series) -> pd.Series:
         import numpy as np

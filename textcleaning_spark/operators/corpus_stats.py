@@ -96,6 +96,12 @@ def average_rank(df: DataFrame, value_col: str, out_col: str = "idf_rank") -> Co
     thousands, not the full vocabulary), and broadcast-join the rank
     back. avg_rank(v) = #strictly-smaller + (ties + 1)/2 — identical
     doubles to the window form (integer counts, exact halves).
+
+    PRECONDITION: ``value_col`` must be non-null. The rank-back join is
+    an inner equi-join, so a NULL value would silently drop its row
+    (the old window form kept NULLs, ordered first). idf — the only
+    engine caller — is never null (log of a count ratio); generic
+    callers with nullable values must filter or impute first.
     """
     counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__n"))
     w_before = Window.orderBy(F.col(value_col)).rowsBetween(

