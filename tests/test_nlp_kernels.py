@@ -65,6 +65,26 @@ def test_annotate_struct_aligned():
     assert len(out["tags"]) == len(out["lemmas"]) == len(out["stems"]) == n
 
 
+def test_annotate_batch_matches_scalar_whole_corpus(spark):
+    """Whole-batch differential: the vectorized factorize+gather kernel
+    vs the scalar twin over the synthetic corpus + edge rows."""
+    import pandas as pd
+
+    from textcleaning_spark.functions.nlp import annotate_batch
+
+    texts = [
+        r["text"]
+        for r in generate_pages(spark, 200, seed=17, partitions=4)
+        .select("text")
+        .collect()
+    ] + ["", None, ",", "The Devices ARE cleaning; 42 naïve 한국어!"]
+    out = annotate_batch(pd.Series(texts, dtype="object"))
+    for i, t in enumerate(texts):
+        want = annotate_py(t or "")
+        for k in ("tokens", "tags", "lemmas", "stems"):
+            assert list(out.iloc[i][k]) == want[k], (i, k)
+
+
 def test_annotate_udf_matches_py(spark):
     pages = generate_pages(spark, 50, seed=3, partitions=4)
     rows = (

@@ -63,8 +63,11 @@ def make_patents(n=300, seed=13) -> pd.DataFrame:
 
 
 def clean_title_py(title: str, level: int = 3) -> str:
-    """Reference clean_text semantics (text_process.py:259-267) with
-    this engine's deterministic tagger standing in for NLTK."""
+    """Reference clean_text PROGRAM ORDER (text_process.py:259-267),
+    sequential-pandas mirror. This test validates that the distributed
+    plan equals the sequential semantics; MODEL parity vs NLTK's own
+    recorded outputs is measured separately (non-circularly) in
+    tests/test_reference_golden_chains.py + REFERENCE_PARITY.md."""
     stops = set(stop_pos(level))
     toks = [t for t in title.split(" ") if t != ""]
     kept = [w for w in toks if tag_word_py(w) not in stops]

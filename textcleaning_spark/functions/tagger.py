@@ -18,13 +18,38 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# punctuation rules FIRST (exact, case-sensitive on the raw token):
+# Penn-Treebank punctuation classes — measured against the reference's
+# recorded PerceptronTagger outputs (text_process_v5.py:358-388), which
+# tag ',' as ',' etc.; these tags are in the stop-POS lists, so getting
+# them wrong flips keep/drop on punctuation tokens.
+PUNCT: tuple[tuple[tuple[str, ...], str], ...] = (
+    ((",",), ","),
+    ((".", "!", "?"), "."),
+    ((":", ";", "--"), ":"),
+    (("(", "["), "("),
+    ((")", "]"), ")"),
+    (("$",), "$"),
+    (("#",), "#"),
+    (("``",), "``"),
+    (("''", '"'), "''"),
+)
+
+# NNP rules (the reference's tagger tags unknown capitalized words and
+# all-caps acronyms/headline words NNP — see the golden chains where
+# an ALL-CAPS title is tagged NNP throughout, including 'AND'):
+# all-caps fires BEFORE the lexicon ('AND' → NNP, not CC); first-letter
+# capitalization fires AFTER it ('The' stays DT).
+ALLCAPS_RE = "^[A-Z]{2,}$"
+CAPITALIZED_RE = "^[A-Z]"
+
 # lexicon rules: exact lowercase word -> tag (first match wins)
 LEXICON: tuple[tuple[tuple[str, ...], str], ...] = (
     (("a", "an", "the"), "DT"),
     (("and", "or", "but", "nor"), "CC"),
     (("of", "in", "on", "for", "with", "at", "by", "from", "as",
       "into", "through", "during", "before", "after", "above", "below",
-      "under", "over", "about"), "IN"),
+      "under", "over", "about", "between"), "IN"),
     (("to",), "TO"),
     (("is", "are", "was", "were", "be", "been", "being", "am"), "VB"),
     (("he", "she", "it", "they", "we", "you", "i", "them", "him", "her",
@@ -48,6 +73,7 @@ SUFFIXES: tuple[tuple[str, int, str], ...] = (
     ("est", 5, "JJS"),
     ("ous", 4, "JJ"),
     ("ful", 4, "JJ"),
+    ("less", 5, "JJ"),
     ("ive", 4, "JJ"),
     ("able", 5, "JJ"),
     ("ible", 5, "JJ"),
@@ -73,9 +99,13 @@ def tag_word(word: Column) -> Column:
     def _chain(prev, cond, tag):
         return F.when(cond, F.lit(tag)) if prev is None else prev.when(cond, F.lit(tag))
 
+    for words, tag in PUNCT:
+        out = _chain(out, word.isin(*words), tag)
+    out = out.when(word.rlike(ALLCAPS_RE), F.lit("NNP"))
     for words, tag in LEXICON:
-        out = _chain(out, low.isin(*words), tag)
+        out = out.when(low.isin(*words), F.lit(tag))
     out = out.when(low.rlike(NUMBER_RE), F.lit("CD"))
+    out = out.when(word.rlike(CAPITALIZED_RE), F.lit("NNP"))
     for suf, min_len, tag in SUFFIXES:
         out = out.when(
             low.endswith(suf) & (F.length(word) >= min_len), F.lit(tag)
@@ -83,14 +113,23 @@ def tag_word(word: Column) -> Column:
     return out.otherwise(F.lit(DEFAULT_TAG))
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
 def tag_word_sql(word: str) -> str:
     """Identical CASE expression as DuckDB SQL over expression ``word``."""
     low = f"lower({word})"
     parts = ["CASE"]
+    for words, tag in PUNCT:
+        inlist = ", ".join(_sql_str(w) for w in words)
+        parts.append(f"WHEN {word} IN ({inlist}) THEN {_sql_str(tag)}")
+    parts.append(f"WHEN regexp_matches({word}, '{ALLCAPS_RE}') THEN 'NNP'")
     for words, tag in LEXICON:
-        inlist = ", ".join(f"'{w}'" for w in words)
+        inlist = ", ".join(_sql_str(w) for w in words)
         parts.append(f"WHEN {low} IN ({inlist}) THEN '{tag}'")
     parts.append(f"WHEN regexp_matches({low}, '{NUMBER_RE}') THEN 'CD'")
+    parts.append(f"WHEN regexp_matches({word}, '{CAPITALIZED_RE}') THEN 'NNP'")
     for suf, min_len, tag in SUFFIXES:
         parts.append(
             f"WHEN suffix({low}, '{suf}') AND length({word}) >= {min_len} "
@@ -102,14 +141,21 @@ def tag_word_sql(word: str) -> str:
 
 def tag_word_py(word: str) -> str:
     """Pure-Python twin (used by the golden pandas oracle in tests)."""
+    import re
+
+    for words, tag in PUNCT:
+        if word in words:
+            return tag
+    if re.match(ALLCAPS_RE, word):
+        return "NNP"
     low = word.lower()
     for words, tag in LEXICON:
         if low in words:
             return tag
-    import re
-
     if re.match(NUMBER_RE, low):
         return "CD"
+    if re.match(CAPITALIZED_RE, word):
+        return "NNP"
     for suf, min_len, tag in SUFFIXES:
         if low.endswith(suf) and len(word) >= min_len:
             return tag

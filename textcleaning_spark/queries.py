@@ -701,9 +701,15 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k — the scale path (rows-only
-    check; recall vs brute force asserted in tests)."""
+    check; recall vs brute force asserted in tests and reported by
+    `ann_recall_vs_bruteforce`). 4 planes × 8 tables: on this
+    unclustered cloud neighbors sit at θ≈63°, so
+    p ≈ 1-(1-0.65⁴)⁸ ≈ 0.79 — the 8×2 configuration would collapse to
+    ~3% recall."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.hyperplane_lsh_topk(emb, "vec_id", "embedding", k=5)
+    return sim.hyperplane_lsh_topk(
+        emb, "vec_id", "embedding", k=5, n_planes=4, n_tables=8
+    )
 
 
 _QUERIES["ann_lsh_topk"] = ann_lsh_topk
@@ -715,10 +721,54 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from textcleaning_spark.operators.ivf import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4)
+    # nprobe 8/16 cells: measured recall@5 0.73 vs 0.49 at nprobe=4 on
+    # the unclustered synthetic cloud (worst case for IVF); production
+    # shape is thousands of centroids with small nprobe/k.
+    return ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=16, nprobe=8)
 
 
 _QUERIES["ann_ivf_topk"] = ann_ivf_topk
+
+
+def ann_recall_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN quality gate: recall@5 of BOTH approximate
+    indexes against the brute-force truth set (`embedding_topk`, which
+    IS oracle-checked) — one row per method. No SQL oracle (the LSH/IVF
+    assignments are Python GEMM kernels), but the truth side of the
+    semi-join is the exact query the oracle already validates, so the
+    recall number itself is trustworthy evidence."""
+    from textcleaning_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = sim.cosine_topk_bruteforce(emb, "vec_id", "embedding", k=5).select(
+        "query_id", "item_id"
+    )
+    out = []
+    for method, approx in (
+        ("lsh", sim.hyperplane_lsh_topk(
+            emb, "vec_id", "embedding", k=5, n_planes=4, n_tables=8
+        )),
+        ("ivf", ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=16, nprobe=8)),
+    ):
+        hits = approx.select("query_id", "item_id").join(
+            truth, ["query_id", "item_id"], "left_semi"
+        )
+        out.append(
+            truth.agg(F.count(F.lit(1)).alias("n_truth")).crossJoin(
+                hits.agg(F.count(F.lit(1)).alias("n_hits"))
+            ).select(
+                F.lit(method).alias("method"),
+                F.col("n_truth").cast("bigint").alias("n_truth"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_truth"), 4
+                ).alias("recall_at_5"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+_QUERIES["ann_recall_vs_bruteforce"] = ann_recall_vs_bruteforce
 
 
 # ---------------------------------------------------------------------------
@@ -1133,11 +1183,30 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 31. NLP annotation rollup (pandas-UDF kernel; rows-only check)
+# 31. NLP annotation rollup — the PYTHON KERNEL oracle-checked end to
+#     end: the Spark side runs the Arrow annotation UDF; the oracle
+#     re-derives the same tokens (the kernel's fixed regex via DuckDB
+#     regexp_extract_all — RE2 ≡ Python re on this ASCII corpus) and
+#     the same tags (tagger.tag_word_sql, the CASE generated from the
+#     identical rule table). A kernel/rule divergence breaks the hash.
 # ---------------------------------------------------------------------------
+@register(
+    "nlp_tag_distribution",
+    f"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS word
+        FROM documents
+    )
+    SELECT {tagger.tag_word_sql('word')} AS tag,
+           count(*)::BIGINT AS cnt
+    FROM tok
+    GROUP BY tag
+    """,
+)
 def nlp_tag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tag histogram via the Arrow annotation kernel (non-SQL kernel →
-    no oracle; golden chains asserted in tests/test_nlp_kernels.py)."""
+    """Tag histogram via the Arrow annotation kernel (functions/nlp.py);
+    per-token golden chains additionally asserted in
+    tests/test_nlp_kernels.py."""
     from textcleaning_spark.functions.nlp import with_annotations
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1147,9 +1216,6 @@ def nlp_tag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tag")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-
-
-_QUERIES["nlp_tag_distribution"] = nlp_tag_distribution
 
 
 # ---------------------------------------------------------------------------
