@@ -1,0 +1,112 @@
+"""Real multi-byte scripts through the full pipeline (round-1 verdict
+gap #4 / reference's KIPO-JPO route, text_process.py:53-59): Hangul and
+Han codepoints must survive tokenize → quality rules → scrub
+byte-identically, langid must recognize them, and the NLP kernels must
+not corrupt them.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from textcleaning_spark.config import DEFAULT_CONFIG
+from textcleaning_spark.functions.langid import predict_lang_batch, predict_lang_py
+from textcleaning_spark.functions.scrub import scrub_py
+from textcleaning_spark.plans.pipeline import run_quality_pipeline
+from textcleaning_spark.sources.pages import _WORDS, generate_pages, generate_pages_pdf
+
+
+def test_generator_emits_real_cjk_codepoints():
+    assert all(any("가" <= ch <= "힣" for ch in w) for w in _WORDS["ko"])
+    assert all(any("一" <= ch <= "鿿" for ch in w) for w in _WORDS["zh"])
+
+
+@pytest.fixture(scope="module")
+def cjk_out(spark):
+    pdf = generate_pages_pdf(600, seed=21)
+    out = run_quality_pipeline(generate_pages(spark, 600, seed=21, partitions=8))
+    return pdf, out.toPandas()
+
+
+def test_clean_cjk_docs_are_kept(cjk_out):
+    """Clean Korean/Chinese prose (classes 0-5) must KEEP — the
+    unicode-letter alpha rule; an ASCII-only rule drops 100% of them."""
+    pdf, out = cjk_out
+    clean = out[(out.lang.isin(["ko", "zh"])) & (out.url.map(
+        lambda u: int(u.rsplit("/", 1)[1]) % 10 <= 5))]
+    assert len(clean) > 20
+    keep_rate = clean.keep.mean()
+    assert keep_rate == 1.0, f"clean CJK keep rate {keep_rate}"
+
+
+def test_cjk_scrub_byte_identical(cjk_out):
+    """Scrubbed text of kept CJK docs must byte-equal the sequential
+    golden scrub — multi-byte codepoints pass through the regex chain
+    untouched (north_rule: byte-identical extracted text per url)."""
+    pdf, out = cjk_out
+    cjk = pdf[pdf.lang.isin(["ko", "zh"])].copy()
+    assert len(cjk) > 50
+    merged = cjk.merge(out[["url", "keep", "scrubbed_text"]], on="url")
+    kept = merged[merged.keep]
+    for _, r in kept.iterrows():
+        want = scrub_py(r["text"], DEFAULT_CONFIG.scrub)
+        assert r["scrubbed_text"] == want, r["url"]
+        assert r["scrubbed_text"].encode("utf-8")  # round-trippable
+
+
+def test_langid_identifies_cjk(cjk_out):
+    """Hangul/Han trigrams are unambiguous — langid accuracy on clean
+    CJK docs should be essentially perfect."""
+    pdf, out = cjk_out
+    clean = out[out.lang.isin(["ko", "zh"]) & out.keep & (out.n_words >= 9)]
+    assert len(clean) > 20
+    acc = (clean.pred_lang == clean.lang).mean()
+    assert acc >= 0.95, f"CJK langid accuracy {acc}"
+
+
+def test_langid_kernels_agree_on_cjk():
+    texts = [
+        "데이터 문서처리 품질관리 the 테이블 분산처리",
+        "文本处理 窗口机制 表格结构 of 质量控制",
+        "데이터 品质 mixed 文档 한글",
+        "",
+    ]
+    got = predict_lang_batch(pd.Series(texts, dtype="object")).tolist()
+    want = [predict_lang_py(t) for t in texts]
+    assert got == want
+    assert got[0] == "ko" and got[1] == "zh"
+
+
+def test_tokenizer_and_annotation_on_cjk():
+    """\\w+ with re.UNICODE groups Hangul/Han runs into single tokens;
+    the annotation kernel must keep them aligned and uncorrupted."""
+    from textcleaning_spark.functions.nlp import annotate_py, tokenize_py
+
+    text = "데이터 문서처리, 文本处理 system 42"
+    toks = tokenize_py(text)
+    assert toks == ["데이터", "문서처리", ",", "文本处理", "system", "42"]
+    ann = annotate_py(text)
+    assert ann["tokens"] == toks
+    assert ann["tags"][2] == ","  # punctuation rule
+    assert ann["tags"][5] == "CD"
+    # CJK tokens fall through to the default tag and stem to themselves
+    assert ann["stems"][0] == "데이터"
+
+
+def test_script_detection_generalizes_beyond_synthetic_vocab():
+    """Out-of-vocabulary real sentences: the script-range vote (not the
+    synthetic-fit trigram profiles) must carry these — including
+    Japanese, a language with NO profile at all."""
+    assert predict_lang_py("これは日本語のテキストです") == "ja"
+    assert predict_lang_py("데이터 처리 시스템에 관한 문서") == "ko"
+    assert predict_lang_py("关于数据处理系统的文档") == "zh"
+    assert predict_lang_py("日本語と漢字のまじった文") == "ja"  # kana beats Han
+    batch = predict_lang_batch(
+        pd.Series(
+            ["これは日本語のテキストです", "데이터 처리 시스템에 관한 문서",
+             "关于数据处理系统的文档"],
+            dtype="object",
+        )
+    ).tolist()
+    assert batch == ["ja", "ko", "zh"]

@@ -29,7 +29,9 @@ def golden_keep(text: str, cfg: QualityConfig) -> bool:
     mean_len = len(text.replace(" ", "")) / nw
     syms = (text.count("#") + text.count("...")) / nw
     stop_cnt = sum(1 for t in toks if t.lower() in STOP_WORDS)
-    alpha = sum(1 for t in toks if re.search("[A-Za-z]", t)) / nw
+    # [^\W\d_] ≡ any Unicode letter in Python re — mirrors \p{L} on
+    # the Spark/DuckDB side
+    alpha = sum(1 for t in toks if re.search(r"[^\W\d_]", t)) / nw
     lines = [l for l in text.split("\n") if l != ""]
     dup = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
     ell = (

@@ -57,9 +57,43 @@ def _build_index() -> tuple[list[str], dict[str, tuple[int, ...]]]:
     return langs, {g: tuple(v) for g, v in inv.items()}
 
 
+# Script-range detection: unlike the trigram profiles (fit to the
+# synthetic vocabulary), Unicode script membership is a REAL signal
+# that generalizes to any text — Hangul is Korean, kana is Japanese,
+# Han without kana defaults to Chinese (the standard heuristic).
+# Thresholds: any meaningful kana fraction wins (Japanese mixes kana
+# with Han); otherwise a 30% single-script majority decides.
+_KANA_FRAC = 0.05
+_SCRIPT_FRAC = 0.30
+
+
+def _script_vote_py(s: str) -> str | None:
+    n = len(s)
+    if n == 0:
+        return None
+    kana = hangul = han = 0
+    for ch in s:
+        o = ord(ch)
+        if 0x3040 <= o <= 0x30FF:
+            kana += 1
+        elif 0xAC00 <= o <= 0xD7A3 or 0x1100 <= o <= 0x11FF:
+            hangul += 1
+        elif 0x4E00 <= o <= 0x9FFF:
+            han += 1
+    if kana / n > _KANA_FRAC:
+        return "ja"
+    if hangul / n > _SCRIPT_FRAC:
+        return "ko"
+    if han / n > _SCRIPT_FRAC:
+        return "zh"
+    return None
+
+
 def predict_lang_py(text: str, default: str = "und") -> str:
-    """Score = fraction of text trigrams present in each profile;
-    argmax with deterministic tie-break (lang asc); 'und' if no hits.
+    """Script-range vote first (deterministic, generalizes beyond the
+    synthetic vocabulary); then trigram score = fraction of text
+    trigrams present in each profile; argmax with deterministic
+    tie-break (lang asc); 'und' if no hits.
 
     Tie-break equivalence with the naive per-language loop: languages
     are scanned in ascending order with a strict ``>``, so the first
@@ -69,6 +103,9 @@ def predict_lang_py(text: str, default: str = "und") -> str:
     if _INDEX is None:
         _INDEX = _build_index()
     langs, gram_idx = _INDEX
+    sv = _script_vote_py((text or "").lower())
+    if sv is not None:
+        return sv
     s = f"  {(text or '').lower()}  "
     n = len(s) - 2
     counts = Counter(s[i : i + 3] for i in range(n))
@@ -187,6 +224,28 @@ def _predict_chunk(texts: pd.Series) -> pd.Series:
     best_i = frac.argmax(axis=1)  # first max == ascending-lang tie-break
     best = frac[np.arange(n_rows), best_i]
     out = np.where(best > 0.1, np.array(langs, dtype=object)[best_i], "und")
+
+    # script-range vote overrides the profile argmax (same precedence
+    # as _script_vote_py: kana → hangul → han). Counts ride the SAME
+    # codepoint array; spaces/padding fall in no range, and the
+    # denominator strips the 4 pad chars to match the scalar twin.
+    row_full = np.repeat(np.arange(n_rows, dtype=np.int32), lengths)
+    kana = ((cp >= 0x3040) & (cp <= 0x30FF)).astype(np.float64)
+    hangul = (
+        ((cp >= 0xAC00) & (cp <= 0xD7A3)) | ((cp >= 0x1100) & (cp <= 0x11FF))
+    ).astype(np.float64)
+    han = ((cp >= 0x4E00) & (cp <= 0x9FFF)).astype(np.float64)
+    denom = np.maximum((lengths - 4).astype(np.float64), 1.0)
+    kf = np.bincount(row_full, weights=kana, minlength=n_rows) / denom
+    gf = np.bincount(row_full, weights=hangul, minlength=n_rows) / denom
+    hf = np.bincount(row_full, weights=han, minlength=n_rows) / denom
+    out = np.where(
+        kf > _KANA_FRAC,
+        "ja",
+        np.where(
+            gf > _SCRIPT_FRAC, "ko", np.where(hf > _SCRIPT_FRAC, "zh", out)
+        ),
+    )
     return pd.Series(out, index=texts.index, dtype="object")
 
 

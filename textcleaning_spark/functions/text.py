@@ -125,16 +125,19 @@ def symbol_to_word_ratio_sql(col: str) -> str:
 
 
 def alpha_word_frac(col: Column | str) -> Column:
-    """Fraction of tokens containing at least one ASCII letter."""
+    """Fraction of tokens containing at least one letter — \\p{L}, any
+    Unicode script (ASCII-only [A-Za-z] would flag every clean
+    Hangul/Han document as non-alpha). Same class in Java regex and
+    DuckDB's RE2."""
     nw = n_words(col)
-    alpha = F.size(F.filter(tokens(col), lambda x: x.rlike("[A-Za-z]")))
+    alpha = F.size(F.filter(tokens(col), lambda x: x.rlike(r"\p{L}")))
     return F.when(nw > 0, alpha.cast("double") / nw).otherwise(F.lit(None))
 
 
 def alpha_word_frac_sql(col: str) -> str:
     return (
         f"CASE WHEN {n_words_sql(col)} > 0 THEN "
-        f"len(list_filter({tokens_sql(col)}, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE "
+        f"len(list_filter({tokens_sql(col)}, x -> regexp_matches(x, '\\p{{L}}')))::DOUBLE "
         f"/ {n_words_sql(col)} END"
     )
 

@@ -43,7 +43,10 @@ def score_documents(
     stop_cnt = F.size(
         F.filter(F.col("__toks"), lambda x: F.array_contains(stop_arr, F.lower(x)))
     ).cast("bigint")
-    alpha = F.size(F.filter(F.col("__toks"), lambda x: x.rlike("[A-Za-z]")))
+    # \p{L} (any Unicode letter) — [A-Za-z] would drop every clean
+    # Hangul/Han document as "non-alpha"; identical semantics in Java
+    # regex (here) and RE2 (DuckDB oracle)
+    alpha = F.size(F.filter(F.col("__toks"), lambda x: x.rlike(r"\p{L}")))
     dup = F.when(
         n_lines > 0,
         (n_lines - F.size(F.array_distinct(F.col("__lines")))).cast("double") / n_lines,

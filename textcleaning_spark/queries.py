@@ -702,13 +702,21 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k — the scale path (rows-only
     check; recall vs brute force asserted in tests and reported by
-    `ann_recall_vs_bruteforce`). 4 planes × 8 tables: on this
-    unclustered cloud neighbors sit at θ≈63°, so
-    p ≈ 1-(1-0.65⁴)⁸ ≈ 0.79 — the 8×2 configuration would collapse to
-    ~3% recall."""
+    `ann_recall_vs_bruteforce`).
+
+    Plane count adapts to corpus size so expected bucket size stays
+    ~160 (work per bucket is sz², so bucket size — not corpus size —
+    is the cost knob); 8 tables recover recall. At the driver's
+    sf0.01 (2.5k vectors) that is 4×8: on this unclustered cloud
+    neighbors sit at θ≈63°, p ≈ 1-(1-0.65⁴)⁸ ≈ 0.79 — the old 8×2
+    config collapsed to ~3% recall."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    planes = max(4, min(10, round(math.log2(max(n, 1) / 160)))) if n > 320 else 4
     return sim.hyperplane_lsh_topk(
-        emb, "vec_id", "embedding", k=5, n_planes=4, n_tables=8
+        emb, "vec_id", "embedding", k=5, n_planes=planes, n_tables=8
     )
 
 
