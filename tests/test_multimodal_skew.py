@@ -32,10 +32,69 @@ def test_media_features_deterministic(spark):
     assert len(f1) == 30
 
 
-def test_media_real_mode_stubbed(spark):
-    media = generate_media(spark, 3, seed=9)
+def test_codec_roundtrips():
+    """Pure-numpy codecs: encode→decode is exact for BMP (incl. row
+    padding at non-multiple-of-4 widths), WAV PCM16, and the RAWVID
+    frame container."""
+    import numpy as np
+
+    from textcleaning_spark.multimodal import media as M
+
+    rgb = (np.arange(21 * 10 * 3, dtype=np.uint32) % 251).astype(np.uint8)
+    rgb = rgb.reshape(10, 21, 3)  # width 21: rows need padding
+    assert (M.decode_bmp(M.encode_bmp(rgb)) == rgb).all()
+
+    samples = (np.sin(np.arange(1600) / 7.0) * 20000).astype(np.int16)
+    dec, rate = M.decode_wav(M.encode_wav(samples, 8000))
+    assert rate == 8000 and (dec == samples).all()
+
+    frames = [M.encode_bmp(rgb), M.encode_bmp(rgb[::-1].copy())]
+    assert M.decode_rawvid(M.encode_rawvid(frames)) == frames
+
+
+def test_real_features_content_derived(spark):
+    """mode='real' features come from actual decoded pixels/samples:
+    the image feature vector carries the true width/height and channel
+    means; audio carries duration and RMS of the sine."""
+    import numpy as np
+
+    from textcleaning_spark.multimodal import media as M
+
+    rgb = np.full((4, 6, 3), 200, dtype=np.uint8)
+    f = M._real_features(M.encode_bmp(rgb), "image/bmp")
+    assert f[:2] == [6.0, 4.0] and f[2] == f[3] == f[4] == 200.0
+
+    samples = (np.sin(2 * np.pi * 440 * np.arange(16000) / 16000) * 16384)
+    f = M._real_features(
+        M.encode_wav(samples.astype(np.int16), 16000), "audio/wav"
+    )
+    assert f[0] == 1.0 and f[1] == 16000.0
+    assert abs(f[2] - 0.3536) < 0.01  # RMS of a 0.5-amplitude sine
+
+
+def test_media_compressed_formats_raise(spark):
+    """PNG/MP4 genuinely need PIL/ffmpeg — those paths stay an honest
+    NotImplementedError."""
+    from textcleaning_spark.multimodal.media import _real_features
+
     with pytest.raises(NotImplementedError):
-        extract_features(media, mode="real")
+        _real_features(b"\x89PNG...", "image/png")
+    with pytest.raises(NotImplementedError):
+        _real_features(b"\x00\x00\x00 ftypmp42", "video/mp4")
+
+
+def test_real_resize_resamples_pixels(spark):
+    """Real resize: nearest-neighbor of a gradient keeps corner values."""
+    import numpy as np
+
+    from textcleaning_spark.multimodal import media as M
+
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[:4, :4] = 10
+    rgb[4:, 4:] = 240
+    small = M.decode_bmp(M.resize_bmp(M.encode_bmp(rgb), "image/bmp", 4, 4))
+    assert small.shape == (4, 4, 3)
+    assert small[0, 0, 0] == 10 and small[3, 3, 0] == 240
 
 
 def test_frame_sampling_expands_rows(spark):

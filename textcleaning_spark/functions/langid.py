@@ -229,23 +229,29 @@ def _predict_chunk(texts: pd.Series) -> pd.Series:
     # as _script_vote_py: kana → hangul → han). Counts ride the SAME
     # codepoint array; spaces/padding fall in no range, and the
     # denominator strips the 4 pad chars to match the scalar twin.
-    row_full = np.repeat(np.arange(n_rows, dtype=np.int32), lengths)
-    kana = ((cp >= 0x3040) & (cp <= 0x30FF)).astype(np.float64)
-    hangul = (
-        ((cp >= 0xAC00) & (cp <= 0xD7A3)) | ((cp >= 0x1100) & (cp <= 0x11FF))
-    ).astype(np.float64)
-    han = ((cp >= 0x4E00) & (cp <= 0x9FFF)).astype(np.float64)
-    denom = np.maximum((lengths - 4).astype(np.float64), 1.0)
-    kf = np.bincount(row_full, weights=kana, minlength=n_rows) / denom
-    gf = np.bincount(row_full, weights=hangul, minlength=n_rows) / denom
-    hf = np.bincount(row_full, weights=han, minlength=n_rows) / denom
-    out = np.where(
-        kf > _KANA_FRAC,
-        "ja",
-        np.where(
-            gf > _SCRIPT_FRAC, "ko", np.where(hf > _SCRIPT_FRAC, "zh", out)
-        ),
-    )
+    # Gated on any codepoint ≥ U+1100 so pure-ASCII/Latin chunks (the
+    # common web case) pay ONE vectorized compare, not four bincounts.
+    maybe_cjk = cp >= 0x1100
+    if maybe_cjk.any():
+        row_full = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+        denom = np.maximum((lengths - 4).astype(np.float64), 1.0)
+
+        def _frac(mask):
+            return np.bincount(row_full[mask], minlength=n_rows) / denom
+
+        kf = _frac(maybe_cjk & (cp >= 0x3040) & (cp <= 0x30FF))
+        gf = _frac(
+            maybe_cjk
+            & (((cp >= 0xAC00) & (cp <= 0xD7A3)) | (cp <= 0x11FF))
+        )
+        hf = _frac(maybe_cjk & (cp >= 0x4E00) & (cp <= 0x9FFF))
+        out = np.where(
+            kf > _KANA_FRAC,
+            "ja",
+            np.where(
+                gf > _SCRIPT_FRAC, "ko", np.where(hf > _SCRIPT_FRAC, "zh", out)
+            ),
+        )
     return pd.Series(out, index=texts.index, dtype="object")
 
 

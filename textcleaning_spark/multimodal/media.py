@@ -6,23 +6,32 @@ extraction / resize / frame sampling run as Arrow-batched
 ``mapInPandas`` kernels so the JVM never materializes decoded frames
 and Python sees whole batches.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode step is STUBBED: ``mode="real"`` raises
-NotImplementedError with the integration point documented; ``mode=
-"fake"`` produces deterministic hash-derived features so ALL the
-Spark-side plumbing — schema, batching, partitioning, row expansion —
-is real and tested.
+Decode is REAL for uncompressed container formats, implemented here
+with numpy + struct only (both published byte layouts):
+
+* ``image/bmp``   — 24-bit uncompressed Windows BMP (BITMAPINFOHEADER)
+* ``audio/wav``   — RIFF/WAVE PCM 16-bit mono
+* ``video/x-raw-frames`` — a trivial length-prefixed container of BMP
+  frames (magic ``RAWVID01``), standing in for a frame-accurate
+  demuxer.
+
+COMPRESSED formats (PNG/JPEG/MP3/MP4) need PIL/ffmpeg/torchaudio,
+which are NOT in this container: ``mode="real"`` raises
+NotImplementedError for those mimes with the integration point
+documented. ``mode="fake"`` (hash-derived features) remains for
+payload-agnostic plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, DoubleType, IntegerType, LongType,
     StringType, StructField, StructType,
@@ -60,11 +69,125 @@ FRAMES_SCHEMA = StructType(
 )
 
 _KINDS = ("image", "audio", "video")
-_MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+_MIMES = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-raw-frames"}
+_RAWVID_MAGIC = b"RAWVID01"
+
+
+# ---------------------------------------------------------------------------
+# codecs (pure numpy/struct; published byte layouts)
+# ---------------------------------------------------------------------------
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes."""
+    h, w, _ = rgb.shape
+    row_size = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    img_size = row_size * h
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + dib + rows.tobytes()
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, dtype=np.uint8, count=row_size * h, offset=off)
+    bgr = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1].copy()
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM bytes."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 bytes → (int16 samples, sample_rate)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        sz = struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt, ch, rate = struct.unpack_from("<HHI", b, pos + 8)
+            if fmt != 1 or ch != 1:
+                raise ValueError("only PCM mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(b, dtype="<i2", count=sz // 2, offset=pos + 8)
+        pos += 8 + sz + (sz & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
+def encode_rawvid(frames: list[bytes]) -> bytes:
+    """BMP frame list → RAWVID01 container (magic, count, len-prefixed)."""
+    out = [_RAWVID_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_rawvid(b: bytes) -> list[bytes]:
+    if b[:8] != _RAWVID_MAGIC:
+        raise ValueError("not a RAWVID01 payload")
+    (n,) = struct.unpack_from("<I", b, 8)
+    pos, frames = 12, []
+    for _ in range(n):
+        (sz,) = struct.unpack_from("<I", b, pos)
+        frames.append(b[pos + 4 : pos + 4 + sz])
+        pos += 4 + sz
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# deterministic generator (REAL encoded payloads)
+# ---------------------------------------------------------------------------
+def _image_pixels(seed: int, i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic gradient + hash-seeded texture, (h, w, 3) uint8."""
+    d = np.frombuffer(hashlib.sha256(f"{seed}:{i}".encode()).digest(), np.uint8)
+    gx = np.linspace(0, 255, w, dtype=np.float64)[None, :]
+    gy = np.linspace(0, 255, h, dtype=np.float64)[:, None]
+    r = (gx + d[0]) % 256
+    g = (gy + d[1]) % 256
+    bl = (gx + gy + d[2]) % 256
+    return np.stack(
+        [np.broadcast_to(r, (h, w)), np.broadcast_to(g, (h, w)), bl],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _audio_samples(seed: int, i: int, rate: int, duration_ms: int) -> np.ndarray:
+    n = rate * duration_ms // 1000
+    freq = 110.0 + (i % 32) * 55.0
+    t = np.arange(n, dtype=np.float64) / rate
+    return (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
 
 
 def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded hash bytes)."""
+    """Deterministic media table with REAL encoded payloads (BMP / PCM
+    WAV / RAWVID01). Content is a pure function of (seed, media_id)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,18 +195,29 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             for i in pdf["id"]:
                 i = int(i)
                 kind = _KINDS[i % 3]
-                payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
+                width = 32 + (i % 8) * 16 if kind == "image" else None
+                height = 32 + (i % 5) * 16 if kind == "image" else None
+                rate = 16_000 if kind == "audio" else None
+                dur = 200 + (i % 10) * 100 if kind in ("audio", "video") else None
+                if kind == "image":
+                    payload = encode_bmp(_image_pixels(seed, i, width, height))
+                elif kind == "audio":
+                    payload = encode_wav(_audio_samples(seed, i, rate, dur), rate)
+                else:
+                    frames = [
+                        encode_bmp(_image_pixels(seed, i * 1000 + fi, 16, 12))
+                        for fi in range(max(1, dur // 100))
+                    ]
+                    payload = encode_rawvid(frames)
                 rows.append(
                     {
                         "media_id": i,
                         "kind": kind,
                         "payload": payload,
-                        "width": 64 + (i % 8) * 32 if kind == "image" else None,
-                        "height": 64 + (i % 5) * 32 if kind == "image" else None,
-                        "sample_rate": 16_000 if kind == "audio" else None,
-                        "duration_ms": 1000 + (i % 10) * 500
-                        if kind in ("audio", "video")
-                        else None,
+                        "width": width,
+                        "height": height,
+                        "sample_rate": rate,
+                        "duration_ms": dur,
                         "mime": _MIMES[kind],
                     }
                 )
@@ -92,42 +226,79 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(0, n, 1, 4).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+_DECODABLE = {"image/bmp", "audio/wav", "video/x-raw-frames"}
+
+
 def _fake_features(payload: bytes) -> list[float]:
     h = hashlib.md5(payload or b"").digest()
     return [round(b / 255.0, 6) for b in h[:FEATURE_DIM]]
 
 
-def extract_features(df: DataFrame, mode: str = "fake") -> DataFrame:
+def _real_features(payload: bytes, mime: str) -> list[float]:
+    if mime == "image/bmp":
+        rgb = decode_bmp(payload)
+        h, w, _ = rgb.shape
+        gray = rgb.astype(np.float64).mean(axis=-1)
+        f = [w, h, rgb[..., 0].mean(), rgb[..., 1].mean(),
+             rgb[..., 2].mean(), gray.std(), w / h, 1.0]
+    elif mime == "audio/wav":
+        samples, rate = decode_wav(payload)
+        x = samples.astype(np.float64) / 32768.0
+        zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        f = [len(x) / rate, rate, float(np.sqrt(np.mean(x**2))),
+             zc, float(x.min()), float(x.max()), float(np.abs(x).mean()), 2.0]
+    elif mime == "video/x-raw-frames":
+        frames = decode_rawvid(payload)
+        first = decode_bmp(frames[0])
+        h, w, _ = first.shape
+        f = [len(frames), w, h, float(first.mean()),
+             float(first.std()), 0.0, 0.0, 3.0]
+    else:
+        raise NotImplementedError(
+            f"compressed format {mime!r} needs PIL/ffmpeg/torchaudio "
+            "(not in this container); plug the codec in here — the "
+            "Spark plumbing (schema, batching, partitioning) is "
+            "identical for the uncompressed formats already handled"
+        )
+    return [round(float(v), 6) for v in f]
+
+
+def extract_features(df: DataFrame, mode: str = "real") -> DataFrame:
     """Decode + feature-extract via mapInPandas (one Arrow batch per
     call; the decoded representation never leaves the Python worker).
 
-    mode="real" is the integration point for PIL/torchaudio/ffmpeg —
-    not available in this container."""
-    if mode == "real":
-        raise NotImplementedError(
-            "real decoders (PIL/torchaudio/ffmpeg) are not installed in "
-            "this environment; plug them in here — the Spark plumbing "
-            "(schema, batching, partitioning) is identical for mode='fake'"
-        )
+    mode="real" decodes BMP/WAV/RAWVID natively (raises for compressed
+    mimes); mode="fake" derives payload-hash features (payload-
+    agnostic plumbing path)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if mode == "real":
+                feats = [
+                    _real_features(p, m)
+                    for p, m in zip(pdf["payload"], pdf["mime"])
+                ]
+            else:
+                feats = pdf["payload"].map(_fake_features).tolist()
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "features": pdf["payload"].map(_fake_features),
+                    "features": feats,
                 }
             )
 
     return df.mapInPandas(kernel, FEATURES_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_ms: int = 1000, mode: str = "fake") -> DataFrame:
+def sample_frames(df: DataFrame, every_ms: int = 1000, mode: str = "real") -> DataFrame:
     """Frame sampling (video rows expand to one row per sampled frame)
-    — a mapInPandas row-expanding kernel (UDTF shape)."""
-    if mode == "real":
-        raise NotImplementedError("ffmpeg frame extraction not available here")
+    — a mapInPandas row-expanding kernel (UDTF shape). mode="real"
+    parses the RAWVID01 container and emits actual BMP frame bytes,
+    sampled at ``every_ms`` over the clip duration."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -135,24 +306,53 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, mode: str = "fake") -> Da
             for r in pdf.itertuples(index=False):
                 if r.kind != "video" or r.duration_ms is None:
                     continue
-                n_frames = max(1, int(r.duration_ms) // every_ms)
-                for fi in range(n_frames):
-                    frame = hashlib.sha256(
-                        (r.payload or b"") + fi.to_bytes(4, "big")
-                    ).digest()
-                    out.append(
-                        {"media_id": r.media_id, "frame_idx": fi, "frame": frame}
-                    )
+                if mode == "real":
+                    if r.mime != "video/x-raw-frames":
+                        raise NotImplementedError(
+                            f"demuxing {r.mime!r} needs ffmpeg (not in "
+                            "this container)"
+                        )
+                    frames = decode_rawvid(r.payload)
+                    ms_per_frame = int(r.duration_ms) / max(len(frames), 1)
+                    step = max(1, int(round(every_ms / ms_per_frame)))
+                    for fi in range(0, len(frames), step):
+                        out.append(
+                            {"media_id": r.media_id, "frame_idx": fi,
+                             "frame": frames[fi]}
+                        )
+                else:
+                    n_frames = max(1, int(r.duration_ms) // every_ms)
+                    for fi in range(n_frames):
+                        frame = hashlib.sha256(
+                            (r.payload or b"") + fi.to_bytes(4, "big")
+                        ).digest()
+                        out.append(
+                            {"media_id": r.media_id, "frame_idx": fi,
+                             "frame": frame}
+                        )
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
 
     return df.mapInPandas(kernel, FRAMES_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int, mode: str = "fake") -> DataFrame:
-    """Image resize stub: fake mode rewrites metadata + payload hash
-    (real mode = PIL thumbnail in the same kernel shape)."""
-    if mode == "real":
-        raise NotImplementedError("PIL not available here")
+def resize_bmp(p: bytes, mime: str, width: int, height: int) -> bytes:
+    """True nearest-neighbor resample of a BMP payload (numpy index
+    gather); non-BMP mimes raise (PIL integration point)."""
+    if mime != "image/bmp":
+        raise NotImplementedError(
+            f"resizing {mime!r} needs PIL (not in this container)"
+        )
+    rgb = decode_bmp(p)
+    h, w, _ = rgb.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_bmp(rgb[yi[:, None], xi[None, :]])
+
+
+def resize_images(df: DataFrame, width: int, height: int, mode: str = "real") -> DataFrame:
+    """Image resize via mapInPandas. mode="real" is a TRUE nearest-
+    neighbor resample of the decoded BMP (numpy index gather), re-
+    encoded to BMP; non-BMP mimes raise (PIL integration point)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -160,9 +360,15 @@ def resize_images(df: DataFrame, width: int, height: int, mode: str = "fake") ->
             pdf = pdf.copy()
             pdf.loc[mask, "width"] = width
             pdf.loc[mask, "height"] = height
-            pdf.loc[mask, "payload"] = pdf.loc[mask, "payload"].map(
-                lambda p: hashlib.sha256((p or b"") + b"resized").digest()
-            )
+            if mode == "real":
+                pdf.loc[mask, "payload"] = [
+                    resize_bmp(p, m, width, height)
+                    for p, m in zip(pdf.loc[mask, "payload"], pdf.loc[mask, "mime"])
+                ]
+            else:
+                pdf.loc[mask, "payload"] = pdf.loc[mask, "payload"].map(
+                    lambda p: hashlib.sha256((p or b"") + b"resized").digest()
+                )
             yield pdf
 
     return df.mapInPandas(kernel, MEDIA_SCHEMA)

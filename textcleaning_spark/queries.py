@@ -1976,15 +1976,14 @@ def char_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 48. Multimodal feature-extraction profile (rows-only driver check)
 # ---------------------------------------------------------------------------
 def media_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns → mapInPandas decode/feature kernel →
-    per-kind profile. Deterministic fake decode (real codecs absent in
-    this container — multimodal/media.py documents the integration
-    point); the Spark plumbing (binary schema, Arrow batches, row
-    expansion) is the real thing under test."""
+    """Binary media columns → mapInPandas REAL decode (pure-numpy BMP /
+    PCM-WAV / raw-frames codecs, multimodal/media.py) → feature
+    kernel → per-kind profile. Compressed formats (PNG/MP4) remain the
+    documented PIL/ffmpeg integration point."""
     from textcleaning_spark.multimodal.media import extract_features, generate_media
 
     media = generate_media(spark, 300, seed=11)
-    feats = extract_features(media, mode="fake")
+    feats = extract_features(media, mode="real")
     return (
         feats.select(
             "kind",
