@@ -34,6 +34,8 @@ def golden_keep(text: str, cfg: QualityConfig) -> bool:
     alpha = sum(1 for t in toks if re.search(r"[^\W\d_]", t)) / nw
     lines = [l for l in text.split("\n") if l != ""]
     dup = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+    grams = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+    dupg = (len(grams) - len(set(grams))) / len(grams) if grams else 0.0
     ell = (
         sum(1 for l in lines if l.endswith("...")) / len(lines) if lines else 0.0
     )
@@ -43,6 +45,7 @@ def golden_keep(text: str, cfg: QualityConfig) -> bool:
         and syms <= cfg.max_symbol_to_word_ratio
         and stop_cnt >= cfg.min_stop_word_count
         and dup <= cfg.max_dup_line_frac
+        and dupg <= cfg.max_dup_ngram_frac
         and alpha >= cfg.min_alpha_word_frac
         and ell <= cfg.max_ellipsis_line_frac
     )
@@ -119,3 +122,18 @@ def test_metrics_table(spark, pipeline_out):
     assert int(m.n_keep.sum()) == int(pipeline_out.keep.sum())
     # planted PII (class 8) must be visible in the metrics
     assert int(m.pii_email.sum() + m.pii_phone.sum() + m.pii_ssn.sum() + m.pii_ipv4.sum()) > 0
+
+
+def test_repetition_ngram_rule(spark):
+    """Gopher repetition rule: phrase-level boilerplate INSIDE one line
+    (invisible to line dedup) must drop with reason dup_ngrams."""
+    from textcleaning_spark.operators.quality import drop_reasons, score_documents
+
+    spam = ("buy cheap now " * 30).strip() + " the end"
+    clean = "the stream filter window shows a quality table for each document"
+    df = spark.createDataFrame([(1, spam), (2, clean)], ["doc_id", "text"])
+    out = drop_reasons(score_documents(df, "text")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert not by_id[1]["keep"] and "dup_ngrams" in by_id[1]["drop_reasons"]
+    assert by_id[2]["keep"]
+    assert by_id[1]["dup_ngram_frac"] > 0.9

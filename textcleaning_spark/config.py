@@ -83,6 +83,9 @@ class QualityConfig:
     max_symbol_to_word_ratio: float = 0.10   # '#' and '...' per Gopher
     min_stop_word_count: int = 1             # C4-ish: must contain stop words
     max_dup_line_frac: float = 0.30          # boilerplate repetition
+    max_dup_ngram_frac: float = 0.50         # Gopher repetition n-gram
+    # ratio (word 2-grams): clean prose measures ≤0.16 on the synthetic
+    # corpus, repeated-boilerplate ≥0.71 — 0.5 splits with wide margin
     min_alpha_word_frac: float = 0.60        # frac of tokens with an alpha char
     max_ellipsis_line_frac: float = 0.30
 

@@ -186,6 +186,44 @@ def ellipsis_line_frac_sql(col: str) -> str:
     )
 
 
+def word_2grams(col: Column | str) -> Column:
+    """Adjacent word-pair array (space-joined); empty below 2 tokens —
+    the guard also avoids sequence()'s descending default."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(2))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_frac(col: Column | str) -> Column:
+    """Fraction of non-unique word 2-grams — the Gopher-style
+    repetition rule (north_star: 'repetition n-gram ratio'). Catches
+    phrase-level boilerplate that line-dedup misses (repeated slogans
+    inside one line, templated spans)."""
+    grams = word_2grams(col)
+    n = F.size(grams)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(grams))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac_sql(col: str) -> str:
+    toks = tokens_sql(col)
+    grams = (
+        f"list_transform(range(1, len({toks})), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1])"
+    )
+    return (
+        f"CASE WHEN len({grams}) > 0 THEN "
+        f"(len({grams}) - len(list_distinct({grams})))::DOUBLE / len({grams}) "
+        f"ELSE 0.0 END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # document keep/drop verdict (Gopher/C4-style; generalizes the reference's
 # word-level idf_rank>=K ∧ pos∈pass rule to documents)
@@ -203,6 +241,7 @@ def keep_expr(col: Column | str, cfg: QualityConfig | None = None) -> Column:
         & (symbol_to_word_ratio(col) <= cfg.max_symbol_to_word_ratio)
         & (stop_word_count(col) >= cfg.min_stop_word_count)
         & (dup_line_frac(col) <= cfg.max_dup_line_frac)
+        & (dup_ngram_frac(col) <= cfg.max_dup_ngram_frac)
         & (alpha_word_frac(col) >= cfg.min_alpha_word_frac)
         & (ellipsis_line_frac(col) <= cfg.max_ellipsis_line_frac)
     )
@@ -218,6 +257,7 @@ def keep_expr_sql(col: str, cfg: QualityConfig | None = None) -> str:
         f" AND {symbol_to_word_ratio_sql(col)} <= {cfg.max_symbol_to_word_ratio}"
         f" AND {stop_word_count_sql(col)} >= {cfg.min_stop_word_count}"
         f" AND {dup_line_frac_sql(col)} <= {cfg.max_dup_line_frac}"
+        f" AND {dup_ngram_frac_sql(col)} <= {cfg.max_dup_ngram_frac}"
         f" AND {alpha_word_frac_sql(col)} >= {cfg.min_alpha_word_frac}"
         f" AND {ellipsis_line_frac_sql(col)} <= {cfg.max_ellipsis_line_frac})"
     )

@@ -47,6 +47,18 @@ def score_documents(
     # Hangul/Han document as "non-alpha"; identical semantics in Java
     # regex (here) and RE2 (DuckDB oracle)
     alpha = F.size(F.filter(F.col("__toks"), lambda x: x.rlike(r"\p{L}")))
+    grams = F.when(
+        F.size(F.col("__toks")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__toks")) - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, F.lit(2))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    dupg = F.when(
+        n_grams > 0,
+        (n_grams - F.size(F.array_distinct(grams))).cast("double") / n_grams,
+    ).otherwise(F.lit(0.0))
     dup = F.when(
         n_lines > 0,
         (n_lines - F.size(F.array_distinct(F.col("__lines")))).cast("double") / n_lines,
@@ -71,6 +83,7 @@ def score_documents(
             "alpha_word_frac", F.round(F.when(nw > 0, alpha.cast("double") / nw), 6)
         )
         .withColumn("dup_line_frac", F.round(dup, 6))
+        .withColumn("dup_ngram_frac", F.round(dupg, 6))
         .withColumn("ellipsis_line_frac", F.round(ell, 6))
     )
     # verdict from UNROUNDED ratios (cheap divisions over the already-
@@ -84,6 +97,7 @@ def score_documents(
         & (F.when(nw > 0, syms.cast("double") / nw) <= cfg.max_symbol_to_word_ratio)
         & (stop_cnt >= cfg.min_stop_word_count)
         & (dup <= cfg.max_dup_line_frac)
+        & (dupg <= cfg.max_dup_ngram_frac)
         & (F.when(nw > 0, alpha.cast("double") / nw) >= cfg.min_alpha_word_frac)
         & (ell <= cfg.max_ellipsis_line_frac)
     )
@@ -114,6 +128,10 @@ def drop_reasons(df_scored: DataFrame, cfg: QualityConfig | None = None) -> Data
             ),
             F.when(
                 F.col("dup_line_frac") > cfg.max_dup_line_frac, F.lit("dup_lines")
+            ),
+            F.when(
+                F.col("dup_ngram_frac") > cfg.max_dup_ngram_frac,
+                F.lit("dup_ngrams"),
             ),
             F.when(
                 F.col("alpha_word_frac") < cfg.min_alpha_word_frac,

@@ -104,7 +104,8 @@ def metrics_table(scored: DataFrame) -> DataFrame:
         ).cast("bigint").alias(f"hits_{r}")
         for r in (
             "too_short", "too_long", "word_len", "symbol_ratio",
-            "no_stop_words", "dup_lines", "non_alpha", "ellipsis",
+            "no_stop_words", "dup_lines", "dup_ngrams", "non_alpha",
+            "ellipsis",
         )
     ]
     return scored.groupBy("lineage_bucket", "lang_final").agg(
