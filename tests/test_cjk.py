@@ -110,3 +110,22 @@ def test_script_detection_generalizes_beyond_synthetic_vocab():
         )
     ).tolist()
     assert batch == ["ja", "ko", "zh"]
+
+
+def test_latin_langid_generalizes_via_function_words():
+    """Real out-of-vocabulary Latin-script sentences: the function-word
+    trigram profiles (public high-frequency lists, not the synthetic
+    vocabulary) must carry these — including Spanish, which has no
+    generator vocabulary at all."""
+    import pandas as pd
+
+    reals = {
+        "en": "the quick brown fox jumped over the lazy dog and ran away",
+        "de": "der schnelle braune fuchs sprang über den faulen hund und lief weg",
+        "fr": "le renard brun rapide a sauté par dessus le chien paresseux",
+        "es": "el zorro marrón rápido saltó sobre el perro perezoso y se fue",
+    }
+    for lang, s in reals.items():
+        assert predict_lang_py(s) == lang, (lang, predict_lang_py(s))
+    batch = predict_lang_batch(pd.Series(list(reals.values()), dtype="object"))
+    assert batch.tolist() == list(reals.keys())
