@@ -61,6 +61,7 @@ HEADLINE = [
     "deterministic_sample",
     "curriculum_selection",
     "incremental_upsert",
+    "boilerplate_line_scrub",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

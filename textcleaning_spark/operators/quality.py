@@ -35,7 +35,15 @@ def score_documents(
     c = text_col
     stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS])
 
-    toked = df.withColumn("__toks", T.tokens(c)).withColumn("__lines", T.lines(c))
+    # __toks/__lines/__grams each materialized ONCE as a column — an
+    # expression reused inside several signals would be BUILT duplicated
+    # (the dupg tree alone would hold ~4 copies of the gram transform;
+    # measured 10× slower on the 200k-doc pipeline bench, round 2)
+    toked = (
+        df.withColumn("__toks", T.tokens(c))
+        .withColumn("__lines", T.lines(c))
+        .withColumn("__grams", T.word_2gram_pairs(F.col("__toks")))
+    )
     nw = F.size(F.col("__toks")).cast("bigint")
     n_chars = T.char_count_no_spaces(c)
     n_lines = F.size(F.col("__lines"))
@@ -47,17 +55,11 @@ def score_documents(
     # Hangul/Han document as "non-alpha"; identical semantics in Java
     # regex (here) and RE2 (DuckDB oracle)
     alpha = F.size(F.filter(F.col("__toks"), lambda x: x.rlike(r"\p{L}")))
-    grams = F.when(
-        F.size(F.col("__toks")) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("__toks")) - 1),
-            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, F.lit(2))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    n_grams = F.size(grams)
+    n_grams = F.size(F.col("__grams"))
     dupg = F.when(
         n_grams > 0,
-        (n_grams - F.size(F.array_distinct(grams))).cast("double") / n_grams,
+        (n_grams - F.size(F.array_distinct(F.col("__grams")))).cast("double")
+        / n_grams,
     ).otherwise(F.lit(0.0))
     dup = F.when(
         n_lines > 0,
@@ -101,7 +103,7 @@ def score_documents(
         & (F.when(nw > 0, alpha.cast("double") / nw) >= cfg.min_alpha_word_frac)
         & (ell <= cfg.max_ellipsis_line_frac)
     )
-    return scored.withColumn("keep", keep).drop("__toks", "__lines")
+    return scored.withColumn("keep", keep).drop("__toks", "__lines", "__grams")
 
 
 def drop_reasons(df_scored: DataFrame, cfg: QualityConfig | None = None) -> DataFrame:

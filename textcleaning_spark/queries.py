@@ -2440,3 +2440,153 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 55. Corpus-level boilerplate line removal (CCNet paragraph dedup)
+# ---------------------------------------------------------------------------
+_BOILER_W = 3  # pseudo-line width (tokens) over the single-line documents
+_BOILER_MIN_DOCS = 3
+
+
+@register(
+    "boilerplate_line_scrub",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOK} AS toks FROM documents
+    ),
+    chunk AS (
+        SELECT doc_id, i::BIGINT AS pos,
+               array_to_string(
+                   list_slice(toks, (i - 1) * {_BOILER_W} + 1, i * {_BOILER_W}), ' '
+               ) AS line
+        FROM tok,
+             unnest(range(1, ((len(toks) + {_BOILER_W} - 1) // {_BOILER_W} + 1)::BIGINT)) AS t(i)
+    ),
+    dup AS (
+        SELECT line FROM chunk
+        GROUP BY line
+        HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+    ),
+    flagged AS (
+        SELECT c.doc_id, c.pos, c.line, (d.line IS NOT NULL) AS is_dup
+        FROM chunk c LEFT JOIN dup d ON c.line = d.line
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           md5(coalesce(
+               string_agg(line, ' ' ORDER BY pos) FILTER (WHERE NOT is_dup), ''
+           )) AS clean_hash
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def boilerplate_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style CROSS-document dedup (operators/boilerplate.py): a
+    line recurring on >= 3 distinct documents is boilerplate and is
+    dropped from every document. The single-line synthetic documents
+    are re-wrapped into deterministic 3-token pseudo-lines first (the
+    corpus has no newlines; 3-token spans from its small vocabulary
+    recur across docs, so the dedup is exercised for real — 231 dup
+    lines, 362/500 docs touched at sf0.01).
+
+    Counting groups on xxhash64(line) — the scale path, 8-byte shuffle
+    keys — while the oracle groups on the string; hash-vs-string parity
+    is additionally diff-asserted in tests/test_boilerplate.py.
+
+    Complements the WITHIN-document dup-line keep rule
+    (reference text_process_v5.py dup-fraction; plans/pipeline.py)."""
+    from textcleaning_spark.operators.boilerplate import corpus_line_dedup
+
+    w = _BOILER_W
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", T.tokens("text").alias("__toks"))
+    toks = F.col("__toks")
+    # (size + w - 1) div w pseudo-lines; sequence() guarded (step
+    # defaults to -1 when upper < 1 — the CLAUDE.md invariant)
+    n_chunks = F.floor((F.size(toks) + F.lit(w - 1)) / F.lit(w)).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i - F.lit(1)) * w + 1, F.lit(w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = toked.select("doc_id", F.posexplode(chunks).alias("pos", "line"))
+    deduped = corpus_line_dedup(
+        lines, min_docs=_BOILER_MIN_DOCS, joiner=" ", count_on_hash=True
+    )
+    return deduped.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5(F.encode(F.col("clean_text"), "UTF-8")).alias("clean_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 56. Per-rule hit metrics (north_rule: "rule-hit metrics" audit table)
+# ---------------------------------------------------------------------------
+_QCFG = QualityConfig()
+
+
+def _r6(frag: str) -> str:
+    return f"round({frag}, 6)"
+
+
+_RULE_CASES_SQL = f"""[
+    CASE WHEN n_words < {_QCFG.min_words} THEN 'too_short' END,
+    CASE WHEN n_words > {_QCFG.max_words} THEN 'too_long' END,
+    CASE WHEN mean_word_len < {_QCFG.min_mean_word_len}
+           OR mean_word_len > {_QCFG.max_mean_word_len} THEN 'word_len' END,
+    CASE WHEN symbol_ratio > {_QCFG.max_symbol_to_word_ratio} THEN 'symbol_ratio' END,
+    CASE WHEN stop_word_count < {_QCFG.min_stop_word_count} THEN 'no_stop_words' END,
+    CASE WHEN dup_line_frac > {_QCFG.max_dup_line_frac} THEN 'dup_lines' END,
+    CASE WHEN dup_ngram_frac > {_QCFG.max_dup_ngram_frac} THEN 'dup_ngrams' END,
+    CASE WHEN alpha_word_frac < {_QCFG.min_alpha_word_frac} THEN 'non_alpha' END,
+    CASE WHEN ellipsis_line_frac > {_QCFG.max_ellipsis_line_frac} THEN 'ellipsis' END
+]"""
+
+
+@register(
+    "rule_hit_profile",
+    f"""
+    WITH sig AS (
+        SELECT lang,
+               {T.n_words_sql('text')} AS n_words,
+               {_r6(T.mean_word_len_sql('text'))} AS mean_word_len,
+               {_r6(T.symbol_to_word_ratio_sql('text'))} AS symbol_ratio,
+               {T.stop_word_count_sql('text')} AS stop_word_count,
+               {_r6(T.dup_line_frac_sql('text'))} AS dup_line_frac,
+               {_r6(T.dup_ngram_frac_sql('text'))} AS dup_ngram_frac,
+               {_r6(T.alpha_word_frac_sql('text'))} AS alpha_word_frac,
+               {_r6(T.ellipsis_line_frac_sql('text'))} AS ellipsis_line_frac
+        FROM documents
+    )
+    SELECT lang, reason, count(*)::BIGINT AS n_docs
+    FROM (
+        SELECT lang,
+               unnest(list_filter({_RULE_CASES_SQL}, x -> x IS NOT NULL)) AS reason
+        FROM sig
+    )
+    GROUP BY lang, reason
+    """,
+)
+def rule_hit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation counts by language — the aggregation the
+    audit stage persists per partition (north_rule: 'per-partition
+    lineage + metrics'; operators/quality.drop_reasons is the
+    row-level payload). Dual-spec: the Spark side explodes the
+    drop_reasons array; the oracle rebuilds each rule from the SAME
+    *_sql signal fragments and thresholds (one rule table, two twins —
+    the CLAUDE.md dual-spec invariant). Signals are compared at their
+    published 6-decimal rounding on BOTH sides, matching what
+    drop_reasons itself sees."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = q.drop_reasons(q.score_documents(docs))
+    return (
+        scored.select("lang", F.explode("drop_reasons").alias("reason"))
+        .groupBy("lang", "reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
