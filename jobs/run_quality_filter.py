@@ -54,7 +54,44 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument(
         "--partitions", type=int, default=0, help="repartition input to N (0 = as-read)"
     )
+    p.add_argument(
+        "--line-dedup-min-docs",
+        type=int,
+        default=0,
+        help=(
+            "CCNet-style pre-pass: drop lines occurring on >= N distinct "
+            "pages (nav/footer boilerplate) before scoring; 0 = off. "
+            "Batch-only — adds a corpus-wide count + rebuild (two "
+            "shuffles) ahead of the per-doc pipeline."
+        ),
+    )
     return p.parse_args(argv)
+
+
+def apply_line_dedup(pages, min_docs: int):
+    """CCNet-style pre-pass (batch mode only): rebuild ``text`` with
+    lines occurring on >= ``min_docs`` distinct pages removed
+    (operators/boilerplate.corpus_line_dedup). Pages whose ``text`` is
+    null (html-only rows) pass through untouched via the left join.
+
+    NOTE: the rebuild also drops blank lines. The per-url byte-identity
+    invariant vs the reference applies to the DEFAULT pipeline; this
+    flag is an opt-in text transformation and changes bytes by design."""
+    from pyspark.sql import functions as F
+
+    from textcleaning_spark.operators.boilerplate import corpus_line_dedup
+
+    lines = pages.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    ).filter(F.col("line") != "")
+    rebuilt = corpus_line_dedup(lines, id_col="url", min_docs=min_docs).select(
+        "url", F.col("clean_text").alias("__dedup_text")
+    )
+    return (
+        pages.join(rebuilt, "url", "left")
+        .withColumn("text", F.coalesce(F.col("__dedup_text"), F.col("text")))
+        .drop("__dedup_text")
+    )
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -88,6 +125,9 @@ def main(argv: list[str] | None = None) -> dict:
         pages = spark.read.parquet(args.input)
         if args.partitions:
             pages = pages.repartition(args.partitions)
+
+    if args.line_dedup_min_docs > 0:
+        pages = apply_line_dedup(pages, args.line_dedup_min_docs)
 
     scored = run_quality_pipeline(pages)
     if args.resume:

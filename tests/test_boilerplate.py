@@ -69,3 +69,27 @@ def test_plan_broadcasts_dup_set(spark):
         _lines(_pages(spark)), min_docs=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_job_line_dedup_prepass(spark):
+    """jobs/run_quality_filter.apply_line_dedup: footer on 3 pages is
+    removed, unique lines survive, null-text (html-only) rows pass
+    through untouched."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    from jobs.run_quality_filter import apply_line_dedup
+
+    rows = [
+        ("u0", f"alpha body\n{FOOTER}", "en"),
+        ("u1", f"beta body\n{FOOTER}", "en"),
+        ("u2", f"{FOOTER}\ngamma body", "en"),
+        ("u3", None, "en"),  # html-only page: text stays null
+    ]
+    pages = spark.createDataFrame(rows, ["url", "text", "lang"])
+    out = {r["url"]: r["text"] for r in
+           apply_line_dedup(pages, min_docs=3).collect()}
+    assert out["u0"] == "alpha body"
+    assert out["u1"] == "beta body"
+    assert out["u2"] == "gamma body"
+    assert out["u3"] is None

@@ -44,35 +44,63 @@ def score_documents(
         .withColumn("__lines", T.lines(c))
         .withColumn("__grams", T.word_2gram_pairs(F.col("__toks")))
     )
-    nw = F.size(F.col("__toks")).cast("bigint")
-    n_chars = T.char_count_no_spaces(c)
-    n_lines = F.size(F.col("__lines"))
-    syms = T.substr_count(c, "#") + T.substr_count(c, "...")
-    stop_cnt = F.size(
-        F.filter(F.col("__toks"), lambda x: F.array_contains(stop_arr, F.lower(x)))
-    ).cast("bigint")
-    # \p{L} (any Unicode letter) — [A-Za-z] would drop every clean
-    # Hangul/Han document as "non-alpha"; identical semantics in Java
-    # regex (here) and RE2 (DuckDB oracle)
-    alpha = F.size(F.filter(F.col("__toks"), lambda x: x.rlike(r"\p{L}")))
-    n_grams = F.size(F.col("__grams"))
+    # Second materialization layer: every EXPENSIVE per-row count
+    # (array scans, array_distinct, per-token regex) becomes a column,
+    # evaluated exactly once. Each ratio below is needed twice — the
+    # rounded published signal AND the unrounded keep verdict — and a
+    # bare count expression would be built (and executed) once per use;
+    # array_distinct twice per row measurably hurts 8→32-core scaling
+    # (allocation/GC pressure grows faster than cores).
+    counts = (
+        toked.withColumn("__nw", F.size(F.col("__toks")).cast("bigint"))
+        .withColumn("__nchars", T.char_count_no_spaces(c))
+        .withColumn("__nlines", F.size(F.col("__lines")))
+        .withColumn("__syms", T.substr_count(c, "#") + T.substr_count(c, "..."))
+        .withColumn(
+            "__stop",
+            F.size(
+                F.filter(
+                    F.col("__toks"), lambda x: F.array_contains(stop_arr, F.lower(x))
+                )
+            ).cast("bigint"),
+        )
+        # \p{L} (any Unicode letter) — [A-Za-z] would drop every clean
+        # Hangul/Han document as "non-alpha"; identical semantics in
+        # Java regex (here) and RE2 (DuckDB oracle)
+        .withColumn(
+            "__alpha",
+            F.size(F.filter(F.col("__toks"), lambda x: x.rlike(r"\p{L}"))),
+        )
+        .withColumn("__ngrams", F.size(F.col("__grams")))
+        .withColumn("__ndupg", F.size(F.array_distinct(F.col("__grams"))))
+        .withColumn("__nduplines", F.size(F.array_distinct(F.col("__lines"))))
+        .withColumn(
+            "__nell",
+            F.size(F.filter(F.col("__lines"), lambda x: x.endswith("..."))),
+        )
+    )
+    nw = F.col("__nw")
+    n_chars = F.col("__nchars")
+    n_lines = F.col("__nlines")
+    syms = F.col("__syms")
+    stop_cnt = F.col("__stop")
+    alpha = F.col("__alpha")
+    n_grams = F.col("__ngrams")
     dupg = F.when(
         n_grams > 0,
-        (n_grams - F.size(F.array_distinct(F.col("__grams")))).cast("double")
-        / n_grams,
+        (n_grams - F.col("__ndupg")).cast("double") / n_grams,
     ).otherwise(F.lit(0.0))
     dup = F.when(
         n_lines > 0,
-        (n_lines - F.size(F.array_distinct(F.col("__lines")))).cast("double") / n_lines,
+        (n_lines - F.col("__nduplines")).cast("double") / n_lines,
     ).otherwise(F.lit(0.0))
     ell = F.when(
         n_lines > 0,
-        F.size(F.filter(F.col("__lines"), lambda x: x.endswith("..."))).cast("double")
-        / n_lines,
+        F.col("__nell").cast("double") / n_lines,
     ).otherwise(F.lit(0.0))
 
     scored = (
-        toked.withColumn("n_words", nw)
+        counts.withColumn("n_words", nw)
         .withColumn(
             "mean_word_len",
             F.round(F.when(nw > 0, n_chars.cast("double") / nw), 6),
@@ -103,7 +131,11 @@ def score_documents(
         & (F.when(nw > 0, alpha.cast("double") / nw) >= cfg.min_alpha_word_frac)
         & (ell <= cfg.max_ellipsis_line_frac)
     )
-    return scored.withColumn("keep", keep).drop("__toks", "__lines", "__grams")
+    return scored.withColumn("keep", keep).drop(
+        "__toks", "__lines", "__grams", "__nw", "__nchars", "__nlines",
+        "__syms", "__stop", "__alpha", "__ngrams", "__ndupg",
+        "__nduplines", "__nell",
+    )
 
 
 def drop_reasons(df_scored: DataFrame, cfg: QualityConfig | None = None) -> DataFrame:
