@@ -59,6 +59,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # ParallelGC over default G1: this is a pure-throughput batch
+        # workload with heavy short-lived allocation (tokenize/array
+        # ops per row); measured ~5% faster with visibly tighter
+        # run-to-run spread at 32 task threads (A/B, 2026-08-17).
+        # G1's pause-time orientation buys nothing here. On a real
+        # cluster this goes in spark.executor.extraJavaOptions too.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
