@@ -2590,3 +2590,69 @@ def rule_hit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "reason")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# 57. Sole-late-supplier (TPC-H Q21 shape): EXISTS / NOT EXISTS chains
+# ---------------------------------------------------------------------------
+@register(
+    "sole_late_supplier",
+    """
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name AS s_name, count(*)::BIGINT AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped correlated EXISTS + NOT-EXISTS chain (reference has no
+    analogue; completes the semi/anti-join family beyond the word-level
+    J2/J3 joins): suppliers who are the ONLY late supplier on a
+    multi-supplier order ("late" = shipped >90 days after the order
+    date — the tables carry no receipt/commit dates).
+
+    The oracle keeps the textbook correlated form; the Spark side is
+    the decorrelated plan Catalyst would produce, written explicitly:
+    per-order distinct-supplier counts (all and late) joined back on
+    l_orderkey — EXISTS(other supplier) = n_supp > 1, NOT EXISTS(other
+    late supplier) = n_late_supp == 1. Both aggregations and the join
+    hash on l_orderkey, so AQE reuses one exchange layout; supplier is
+    joined last and left to AQE (linear-growth table, never forced
+    broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    n_supp = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
+    )
+    n_late = late.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_late_supp")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(n_supp, "l_orderkey")
+        .join(n_late, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
