@@ -2656,3 +2656,80 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# 58. Span contamination (dedup-spans shape, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+_SPAN_W = 8
+
+
+@register(
+    "span_contamination",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOK} AS toks FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' ') AS span
+        FROM tok,
+             unnest(range(1, greatest(len(toks) - {_SPAN_W} + 2, 1)::BIGINT)) AS t(i)
+    ),
+    shared AS (
+        SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT sp.doc_id,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN sh.span IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+           round(sum(CASE WHEN sh.span IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS contamination
+    FROM sp LEFT JOIN shared sh ON sp.span = sh.span
+    GROUP BY sp.doc_id
+    """,
+)
+def span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicating-training-data shape (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): per document, the
+    fraction of its sliding word 8-gram spans that also occur in at
+    least one OTHER document — the signal used to cut verbatim
+    cross-document contamination before training. Differs from the
+    pairwise shingle/Jaccard family: output is per-document exposure,
+    not pairs, so it stays O(corpus) rows.
+
+    Scale shape: one shuffle of (doc, span) to find shared spans, one
+    back-join, one per-doc aggregate. The shared-span table grows with
+    the corpus (NOT force-broadcast; AQE decides). At 100 TB the span
+    key would be xxhash64(span) — 8-byte shuffle keys — with the same
+    plan; the oracle pins the string form for exact parity here."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _SPAN_W
+    toked = docs.select("doc_id", T.tokens("text").alias("__toks"))
+    toks = F.col("__toks")
+    spans = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sp = toked.select("doc_id", F.explode(spans).alias("span"))
+    shared = (
+        sp.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("span", F.lit(1).alias("__shared"))
+    )
+    return (
+        sp.join(shared, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.coalesce(F.col("__shared"), F.lit(0))).cast("bigint").alias("n_shared"),
+            F.round(
+                F.sum(F.coalesce(F.col("__shared"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("contamination"),
+        )
+    )
