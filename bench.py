@@ -62,6 +62,9 @@ HEADLINE = [
     "curriculum_selection",
     "incremental_upsert",
     "boilerplate_line_scrub",
+    "rule_hit_profile",
+    "sole_late_supplier",
+    "span_contamination",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))
