@@ -137,3 +137,25 @@ def test_repetition_ngram_rule(spark):
     assert not by_id[1]["keep"] and "dup_ngrams" in by_id[1]["drop_reasons"]
     assert by_id[2]["keep"]
     assert by_id[1]["dup_ngram_frac"] > 0.9
+
+
+def test_keep_iff_no_drop_reasons(spark):
+    """keep (computed from UNROUNDED ratios) and drop_reasons (computed
+    from the published 6-decimal-rounded signals) must agree on every
+    document: keep == (no rule fired). The two paths could diverge only
+    for a ratio within 5e-7 of a threshold; this corpus-wide check on
+    both synthetic corpora documents that the invariant holds and
+    catches any future rule added to one path but not the other."""
+    from textcleaning_spark.operators.quality import drop_reasons, score_documents
+    from textcleaning_spark.sources.pages import generate_pages
+    from pyspark.sql import functions as F
+
+    for df in (
+        generate_pages(spark, 2000, seed=77, partitions=4),
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
+    ):
+        out = drop_reasons(score_documents(df, "text"))
+        n_bad = out.filter(
+            F.col("keep") != (F.size("drop_reasons") == 0)
+        ).count()
+        assert n_bad == 0
