@@ -18,7 +18,7 @@ from tests.fixtures.reference_golden_chains import (
 from textcleaning_spark.config import stop_pos
 from textcleaning_spark.functions.nlp import lemmatize_py, tokenize_py
 from textcleaning_spark.functions.porter2 import stem as porter2_stem
-from textcleaning_spark.functions.tagger import tag_word_py
+from textcleaning_spark.functions.tagger import tag_tokens_py, tag_word_py
 
 
 def test_tokens_match_nltk_word_tokenize_exactly():
@@ -44,45 +44,52 @@ def test_noun_mode_lemmas_match_wordnet():
 
 
 def test_tag_agreement_rate_vs_perceptron():
-    """The deterministic rule tagger vs PerceptronTagger's recorded
-    tags. A learned, context-sensitive model can't be replicated by
-    word-level rules — measured 42/50 (0.84); divergences are
-    JJ/NN confusions on unknown adjectives (mobile, new, stale),
-    sentence-position NNP/NN (System, Detection), and bare 'A' in an
-    all-caps title. Gate at the measured floor so regressions surface."""
+    """The sequence rule tagger (word CASE + all-caps-span context
+    rule, round 3) vs PerceptronTagger's recorded tags. A learned,
+    context-sensitive model can't be fully replicated by rules —
+    measured 43/50 (0.86); the remaining divergences are JJ/NN
+    confusions on unknown adjectives (mobile, new, stale) and
+    sentence-position NNP/NN (System, Detection), none of which flip
+    keep/drop. Gate at the measured floor so regressions surface."""
     ok = n = 0
     misses = []
     for c in CHAINS_TAGGED:
-        for t, want in zip(c["tokens"], c["tags"]):
+        tags = tag_tokens_py(c["tokens"])
+        for t, got, want in zip(c["tokens"], tags, c["tags"]):
             if want is None:  # truncated in the reference source
                 continue
             n += 1
-            got = tag_word_py(t)
             ok += got == want
             if got != want:
                 misses.append((t, got, want))
     rate = ok / n
-    assert rate >= 0.84, (rate, misses)
+    assert rate >= 0.86, (rate, misses)
 
 
 def test_keep_drop_f1_vs_reference_tags():
     """Keep/drop (token survives the stop-POS filter) computed from the
-    engine's tags vs the reference's recorded tags. Measured F1 0.9867
-    (one fn: bare 'A' in the all-caps title, DT vs NNP); every
-    punctuation/function-word drop agrees."""
+    engine's tags vs the reference's recorded tags. Round 2 measured
+    F1 0.9867 with one fn (bare 'A' in the all-caps title, DT vs NNP);
+    the round-3 context rule closes it — F1 = 1.0 on the recorded
+    goldens. Gate at the north-rule target 0.99."""
     stops = set(stop_pos(1))
     tp = fp = fn = 0
+    disagreements = []
     for c in CHAINS_TAGGED:
-        for t, tag in zip(c["tokens"], c["tags"]):
+        tags = tag_tokens_py(c["tokens"])
+        for t, etag, tag in zip(c["tokens"], tags, c["tags"]):
             if tag is None:
                 continue
             rk = tag not in stops
-            ek = tag_word_py(t) not in stops
+            ek = etag not in stops
             tp += rk and ek
             fn += rk and not ek
             fp += (not rk) and ek
+            if rk != ek:
+                disagreements.append((t, etag, tag))
     f1 = 2 * tp / (2 * tp + fp + fn)
-    assert f1 >= 0.98, f"keep/drop F1 {f1}"
+    assert f1 >= 0.99, f"keep/drop F1 {f1}: {disagreements}"
+    assert disagreements == [], disagreements
 
 
 def test_filtered_stem_chain_agreement():

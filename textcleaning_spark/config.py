@@ -61,11 +61,27 @@ STOP_WORDS: tuple[str, ...] = (
 # ---------------------------------------------------------------------------
 CC_DRIVER_THRESHOLD: int = 1_000_000
 
-# Embedding-count budget for whole-corpus GEMM near-dup: below this the
-# normalized matrix is collected once and broadcast (fast path); above it the
-# same BLAS kernel runs per IVF cell so nothing corpus-sized ever reaches the
-# driver (operators/similarity.cosine_near_dup_blocked).
-GEMM_BROADCAST_MAX_VECTORS: int = 2_000_000
+# Budgets for whole-corpus GEMM near-dup: below BOTH gates the normalized
+# matrix is collected once and broadcast (fast path); above either, the same
+# BLAS kernel runs per IVF cell so nothing corpus-sized ever reaches the
+# driver (operators/similarity.cosine_near_dup_blocked). The BYTE budget is
+# primary (round-3 verdict fix): ``sparkContext.broadcast`` materializes a
+# copy of the float64 matrix in EVERY Python worker, so resident memory is
+# ``n_vectors × dim × 8 × n_python_workers`` — 256 MiB × 32 workers ≈ 8 GiB
+# at local[32], which fits the 128 GiB box with headroom; a high-dim corpus
+# hits this long before the vector-count cap.
+GEMM_BROADCAST_MAX_BYTES: int = 256 * 2**20
+GEMM_BROADCAST_MAX_VECTORS: int = 2_000_000  # secondary cap
+
+# Hyperplane-LSH sizing: when n_planes is not given it is derived as
+# ceil(log2(N / LSH_TARGET_BUCKET_ROWS)) — each extra plane halves the
+# expected bucket size, so this targets ~LSH_TARGET_BUCKET_ROWS rows per
+# bucket. LSH_BUCKET_CAP bounds the per-bucket GEMM regardless (a degenerate
+# bucket — all-zero vectors, near-duplicate floods — is otherwise an O(sz²)
+# straggler task); rows beyond the cap in one bucket are dropped from THAT
+# bucket's scoring (deterministically, lowest ids kept) with a logged count.
+LSH_TARGET_BUCKET_ROWS: int = 1024
+LSH_BUCKET_CAP: int = 100_000
 
 
 @dataclass(frozen=True)

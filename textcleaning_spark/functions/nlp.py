@@ -33,7 +33,12 @@ from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from textcleaning_spark.functions.porter2 import stem as porter2_stem
 from textcleaning_spark.functions.stemmer import stem_word_py
-from textcleaning_spark.functions.tagger import tag_word_py
+from textcleaning_spark.functions.tagger import (
+    ALLCAPS_RE,
+    SINGLE_CAP_RE,
+    tag_tokens_py,
+    tag_word_py,
+)
 
 # Penn-Treebank-ish tokenizer: word chars (incl. digits) or single
 # non-space symbols (quotes, punctuation) — deterministic regex.
@@ -84,14 +89,16 @@ _WORD_CACHE_MAX = 1_000_000  # all three kernels are pure functions of
 
 
 def annotate_py(text: str) -> dict:
-    """Scalar twin (golden oracle for the batch kernel's diff tests)."""
+    """Scalar twin (golden oracle for the batch kernel's diff tests).
+    Tags are sequence-level (tagger.tag_tokens_py: word CASE + the
+    all-caps-span context rule); lemmas follow the final tag."""
     toks = tokenize_py(text)
-    ann = [_annotate_word(t) for t in toks]
+    tags = tag_tokens_py(toks)
     return {
         "tokens": toks,
-        "tags": [a[0] for a in ann],
-        "lemmas": [a[1] for a in ann],
-        "stems": [a[2] for a in ann],
+        "tags": tags,
+        "lemmas": [lemmatize_py(t, g) for t, g in zip(toks, tags)],
+        "stems": [porter2_stem(t) for t in toks],
     }
 
 
@@ -107,6 +114,8 @@ def annotate_batch(texts: pd.Series) -> pd.DataFrame:
     for t in tok_lists:
         flat[pos : pos + len(t)] = t
         pos += len(t)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
 
     if len(flat):
         # hash-based factorize (measured 60× over sort-based np.unique
@@ -115,7 +124,11 @@ def annotate_batch(texts: pd.Series) -> pd.DataFrame:
         tags_u = np.empty(len(uniq), dtype=object)
         lemmas_u = np.empty(len(uniq), dtype=object)
         stems_u = np.empty(len(uniq), dtype=object)
+        single_u = np.empty(len(uniq), dtype=bool)
+        allcaps_u = np.empty(len(uniq), dtype=bool)
         cache = _WORD_CACHE
+        single_re = re.compile(SINGLE_CAP_RE)
+        allcaps_re = re.compile(ALLCAPS_RE)
         for i, t in enumerate(uniq):
             e = cache.get(t)
             if e is None:
@@ -123,12 +136,32 @@ def annotate_batch(texts: pd.Series) -> pd.DataFrame:
                 if len(cache) < _WORD_CACHE_MAX:
                     cache[t] = e
             tags_u[i], lemmas_u[i], stems_u[i] = e
+            single_u[i] = single_re.match(t) is not None
+            allcaps_u[i] = allcaps_re.match(t) is not None
         tags_f, lemmas_f, stems_f = tags_u[inv], lemmas_u[inv], stems_u[inv]
+
+        # context rule (tagger.tag_tokens_py twin, vectorized): single
+        # capital letter adjacent to an all-caps token → NNP. Shift the
+        # all-caps mask ±1 within each ROW — offsets mask out the shift
+        # bleeding across document boundaries.
+        single_f, allcaps_f = single_u[inv], allcaps_u[inv]
+        if single_f.any():
+            prev_caps = np.zeros(len(flat), dtype=bool)
+            prev_caps[1:] = allcaps_f[:-1]
+            next_caps = np.zeros(len(flat), dtype=bool)
+            next_caps[:-1] = allcaps_f[1:]
+            starts = offsets[:-1][offsets[:-1] < len(flat)]
+            prev_caps[starts] = False  # first token of a row: no prev
+            ends = offsets[1:] - 1
+            next_caps[ends[(ends >= 0) & (ends < len(flat))]] = False
+            flip = single_f & (prev_caps | next_caps)
+            for j in np.flatnonzero(flip):
+                if tags_f[j] != "NNP":
+                    tags_f[j] = "NNP"
+                    lemmas_f[j] = lemmatize_py(flat[j], "NNP")
     else:
         tags_f = lemmas_f = stems_f = flat
 
-    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
     rows = {
         "tokens": [list(t) for t in tok_lists],
         "tags": [

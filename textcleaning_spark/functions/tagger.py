@@ -90,6 +90,46 @@ SUFFIXES: tuple[tuple[str, int, str], ...] = (
 NUMBER_RE = "^[0-9]+([.,][0-9]+)*$"
 DEFAULT_TAG = "NN"
 
+# Context rule (round 3, REFERENCE_PARITY.md): a SINGLE capital letter is
+# lexically ambiguous — bare it is the article ('A quick fox' → DT), but
+# inside an all-caps span it follows the span's NNP treatment (the
+# reference's PerceptronTagger tags 'A' in an ALL-CAPS title NNP,
+# text_process_v5.py:341-388 goldens — the one keep/drop disagreement in
+# round 2). Word-level rules can't see the span, so this is a sequence
+# rule: single capital letter whose previous OR next token is all-caps
+# (>=2 letters) → NNP. Applied by tag_tokens_py / the batch kernel /
+# the SQL ctx form — all generated from these two regexes.
+SINGLE_CAP_RE = "^[A-Z]$"
+
+
+def tag_tokens_py(tokens: list[str]) -> list[str]:
+    """Sequence-level tagging: word-level CASE + the all-caps-span
+    context rule. Python twin of nlp.annotate_batch's vectorized form
+    and of tag_word_ctx_sql."""
+    import re
+
+    tags = [tag_word_py(t) for t in tokens]
+    allcaps = [re.match(ALLCAPS_RE, t) is not None for t in tokens]
+    for i, t in enumerate(tokens):
+        if re.match(SINGLE_CAP_RE, t) and (
+            (i > 0 and allcaps[i - 1])
+            or (i + 1 < len(tokens) and allcaps[i + 1])
+        ):
+            tags[i] = "NNP"
+    return tags
+
+
+def tag_word_ctx_sql(word: str, prev_w: str, next_w: str) -> str:
+    """DuckDB CASE for sequence-level tagging: ``word``/``prev_w``/
+    ``next_w`` are SQL expressions (prev/next may be NULL at row edges).
+    Identical semantics to tag_tokens_py."""
+    return (
+        f"CASE WHEN regexp_matches({word}, '{SINGLE_CAP_RE}') AND ("
+        f"regexp_matches(coalesce({prev_w}, ''), '{ALLCAPS_RE}') OR "
+        f"regexp_matches(coalesce({next_w}, ''), '{ALLCAPS_RE}')) "
+        f"THEN 'NNP' ELSE {tag_word_sql(word)} END"
+    )
+
 
 def tag_word(word: Column) -> Column:
     """Spark CASE expression tagging one (already tokenized) word."""

@@ -32,10 +32,58 @@ from textcleaning_spark.operators.quality import drop_reasons, score_documents
 N_LINEAGE_BUCKETS = 64
 
 
+# HTML extraction rules (round-3 verdict fix #4: on real Common Crawl,
+# <script>/<style> element CONTENT and undecoded entities pollute every
+# downstream signal). Order matters: comments first (may wrap markup),
+# then script/style ELEMENTS (content and all), then remaining tags,
+# then entities — decoded AFTER tag-stripping so a decoded '<' is text,
+# not a fake tag. Same patterns run under Java regex (Spark) and Python
+# re (the golden twin): (?is) = DOTALL+IGNORECASE in both.
+_HTML_STRIP_RES: tuple[str, ...] = (
+    "(?s)<!--.*?-->",
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "<[^>]*>",
+)
+# the five XML predefined entities; &amp; decoded LAST so double-escaped
+# text ('&amp;lt;') yields the literal '&lt;', never '<'
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text_col(html_col) -> "F.Column":
+    """Native regexp chain: html binary → extracted text (no Python)."""
+    s = F.decode(html_col, "UTF-8")
+    for pat in _HTML_STRIP_RES:
+        s = F.regexp_replace(s, pat, " ")
+    for ent, rep in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))  # literal replace
+    return F.trim(F.regexp_replace(s, "\\s+", " "))
+
+
+def html_to_text_py(html: bytes | str) -> str:
+    """Python twin of :func:`html_to_text_col` (differential-tested)."""
+    import re
+
+    s = html.decode("utf-8") if isinstance(html, (bytes, bytearray)) else html
+    for pat in _HTML_STRIP_RES:
+        s = re.sub(pat, " ", s)
+    for ent, rep in _HTML_ENTITIES:
+        s = s.replace(ent, rep)
+    return re.sub(r"\s+", " ", s).strip()
+
+
 def extract_text(df: DataFrame) -> DataFrame:
-    """Fallback extraction: when ``text`` is null, strip tags from
-    ``html`` (native regexp chain). When ``text`` is present it passes
-    through BYTE-IDENTICAL (the per-url invariant).
+    """Fallback extraction: when ``text`` is null, extract from ``html``
+    (native regexp chain: comments/script/style elements dropped whole,
+    tags stripped, XML entities decoded — :func:`html_to_text_col`).
+    When ``text`` is present it passes through BYTE-IDENTICAL (the
+    per-url invariant).
 
     Split into a filtered UNION so the has-text branch never references
     ``html``: Catalyst prunes the (large binary) column from that scan
@@ -43,15 +91,10 @@ def extract_text(df: DataFrame) -> DataFrame:
     into parquet where row-group null-count stats skip clean files —
     measured ~1.5× on the whole pipeline, and at 100 TB it's the
     difference between reading 5% or 100% of the raw HTML bytes."""
-    html_text = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.decode(F.col("html"), "UTF-8"), "<[^>]*>", " "),
-            "\\s+",
-            " ",
-        )
-    )
     has_text = df.filter(F.col("text").isNotNull())
-    from_html = df.filter(F.col("text").isNull()).withColumn("text", html_text)
+    from_html = df.filter(F.col("text").isNull()).withColumn(
+        "text", html_to_text_col(F.col("html"))
+    )
     return has_text.unionByName(from_html)
 
 

@@ -43,12 +43,64 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+# Driver-window rotation (round 3). The driver's correctness gate records
+# only the FIRST 50 entries of queries() in iteration order; the registry
+# has 63. Entries that have never received a driver row (CORRECTNESS_r01/
+# r02) are pinned to the front so they get verified this round; the
+# rows-only ANN approximations (whose driver check is weakest) plus nine
+# of the longest-stable queries (hash-green in BOTH rounds 1 and 2)
+# rotate past the cutoff. Registration order elsewhere is unchanged —
+# rotate these lists, don't reorder function definitions.
+_WINDOW_FRONT = [
+    # 12 oracle-backed queries never driver-verified (VERDICT r2 item 1)
+    "volume_shipping",
+    "priority_class_by_returnflag",
+    "small_quantity_revenue",
+    "incremental_upsert",
+    "near_dup_clusters",
+    "events_in_purchase_windows",
+    "deterministic_sample",
+    "curriculum_selection",
+    "boilerplate_line_scrub",
+    "rule_hit_profile",
+    "sole_late_supplier",
+    "span_contamination",
+    # rows-only but never driver-seen at all
+    "media_feature_profile",
+]
+_WINDOW_BACK = [
+    # rows-only approximations: driver check is rows-only regardless
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_recall_vs_bruteforce",
+    "embedding_near_dup_fast",
+    # stable: hash-green in both CORRECTNESS_r01 and r02
+    "lang_route_counts",
+    "vocab_topk",
+    "event_day_labels",
+    "event_props_stats",
+    "keyword_hits",
+    "vocab_setops",
+    "subtoken_counts",
+    "doc_length_deciles",
+    "events_lead_lag",
+]
+
+
+def _window_ordered(entries: dict) -> dict:
+    front = [n for n in _WINDOW_FRONT if n in entries]
+    back = [n for n in _WINDOW_BACK if n in entries]
+    pinned = set(front) | set(back)
+    mid = [n for n in entries if n not in pinned]
+    return {n: entries[n] for n in front + mid + back}
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _window_ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE)
+    return _window_ordered(_ORACLE)
 
 
 # ---------------------------------------------------------------------------
@@ -1204,19 +1256,29 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     end: the Spark side runs the Arrow annotation UDF; the oracle
 #     re-derives the same tokens (the kernel's fixed regex via DuckDB
 #     regexp_extract_all — RE2 ≡ Python re on this ASCII corpus) and
-#     the same tags (tagger.tag_word_sql, the CASE generated from the
-#     identical rule table). A kernel/rule divergence breaks the hash.
+#     the same tags (tagger.tag_word_ctx_sql: the word-level CASE from
+#     the identical rule table + the all-caps-span context rule via
+#     lag/lead over token position). A kernel/rule divergence breaks
+#     the hash.
 # ---------------------------------------------------------------------------
 @register(
     "nlp_tag_distribution",
     f"""
-    WITH tok AS (
-        SELECT unnest(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS word
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\\w+|[^\\w\\s]') AS t
         FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(t) AS word, generate_subscripts(t, 1) AS pos
+        FROM toks
+    ), ctx AS (
+        SELECT word,
+               lag(word)  OVER (PARTITION BY doc_id ORDER BY pos) AS prev_w,
+               lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS next_w
+        FROM tok
     )
-    SELECT {tagger.tag_word_sql('word')} AS tag,
+    SELECT {tagger.tag_word_ctx_sql('word', 'prev_w', 'next_w')} AS tag,
            count(*)::BIGINT AS cnt
-    FROM tok
+    FROM ctx
     GROUP BY tag
     """,
 )
