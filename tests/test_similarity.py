@@ -196,3 +196,15 @@ def test_near_dup_blocked_gate_routes_to_ivf_cells(spark):
         else:
             # boundary-only novelty: GEMM rounding at the threshold
             assert abs(routed[k] - 0.35) < 2e-6, (k, routed[k])
+
+
+def test_ann_recall_gate_both_rows_survive(spark):
+    """The in-query recall gate (round 3): both method rows must clear
+    recall@5 >= 0.9 and therefore survive the filter — the driver's
+    rows-only count of 2 IS the gate."""
+    from textcleaning_spark.queries import ann_recall_vs_bruteforce
+
+    rows = ann_recall_vs_bruteforce(spark, SF_ORACLE).collect()
+    assert {r["method"] for r in rows} == {"lsh", "ivf"}
+    for r in rows:
+        assert r["recall_at_5"] >= 0.9, r

@@ -8,10 +8,18 @@ and each completed bucket writes one audit row. A killed job resumes
 by anti-joining pending buckets against the audit table — no
 recomputation of completed work, no reliance on task-level state.
 
-Iceberg note: the layout is Iceberg-table-shaped (append-only audit +
-partitioned data); in-sandbox it's plain parquet directories with
-identical semantics (SURVEY.md §7.4 risk 5). ``partitionBy(
-lineage_bucket)`` makes resume a partition-pruned read on both sides.
+Iceberg note (round 3: capability-probed, not assumed): the layout is
+Iceberg-table-shaped (append-only audit + partitioned data). When the
+Iceberg Spark runtime jar is on the classpath, :func:`storage_format`
+resolves to ``iceberg`` and every read/write below goes through
+``format("iceberg")``; otherwise it resolves to the plain-parquet
+stand-in with identical audit/resume semantics (SURVEY.md §7.4 risk 5
+allows this when the jar is absent — in this sandbox it is). The
+contract itself (stable buckets, dynamic partition overwrite,
+audit-after-data ordering) is format-independent and tested in both
+modes (tests/test_audit_resume.py; the Iceberg leg skips without the
+jar). ``partitionBy(lineage_bucket)`` makes resume a partition-pruned
+read on both sides.
 """
 
 from __future__ import annotations
@@ -21,12 +29,37 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_ICEBERG_PROBE_CLASS = "org.apache.iceberg.spark.SparkCatalog"
 
-def completed_buckets(spark: SparkSession, audit_path: str, stage: str) -> DataFrame:
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is loadable in THIS JVM.
+
+    A classpath probe, not a config guess: ``Class.forName`` on the
+    Iceberg SparkCatalog entry point. No jar → ClassNotFoundException →
+    False (the parquet stand-in runs)."""
+    try:
+        spark._jvm.java.lang.Class.forName(_ICEBERG_PROBE_CLASS)
+        return True
+    except Exception:
+        return False
+
+
+def storage_format(spark: SparkSession) -> str:
+    """Checkpoint/audit table format: ``iceberg`` when the runtime jar
+    is present, else ``parquet`` (explicit capability check — the
+    decision is visible in logs/plans rather than implicit)."""
+    return "iceberg" if iceberg_available(spark) else "parquet"
+
+
+def completed_buckets(
+    spark: SparkSession, audit_path: str, stage: str, fmt: str | None = None
+) -> DataFrame:
     """Buckets already finished for ``stage`` (empty DF if no audit yet)."""
+    fmt = fmt or storage_format(spark)
     if not os.path.exists(audit_path):
         return spark.range(0).select(F.col("id").cast("int").alias("lineage_bucket"))
-    audit = spark.read.parquet(audit_path)
+    audit = spark.read.format(fmt).load(audit_path)
     return (
         audit.filter(F.col("stage") == stage)
         .select("lineage_bucket")
@@ -34,10 +67,16 @@ def completed_buckets(spark: SparkSession, audit_path: str, stage: str) -> DataF
     )
 
 
-def pending(df: DataFrame, spark: SparkSession, audit_path: str, stage: str) -> DataFrame:
+def pending(
+    df: DataFrame,
+    spark: SparkSession,
+    audit_path: str,
+    stage: str,
+    fmt: str | None = None,
+) -> DataFrame:
     """Resume predicate: keep only rows whose bucket has no audit row.
     Broadcast anti-join — the audit side is ≤ N_LINEAGE_BUCKETS rows."""
-    done = completed_buckets(spark, audit_path, stage)
+    done = completed_buckets(spark, audit_path, stage, fmt)
     return df.join(F.broadcast(done), "lineage_bucket", "left_anti")
 
 
@@ -48,20 +87,25 @@ def write_stage(
     audit_path: str,
     stage: str,
     metrics: DataFrame | None = None,
+    fmt: str | None = None,
 ) -> None:
     """Write stage output partitioned by lineage bucket, then append
     one audit row per bucket (with rule-hit metrics when provided).
 
-    The audit append happens AFTER the data write commits, so a crash
-    between the two re-runs the bucket (at-least-once, idempotent
-    because the data write is per-bucket overwrite)."""
+    ``fmt`` defaults to :func:`storage_format` — ``iceberg`` when the
+    runtime jar is present, else ``parquet``. Both legs use dynamic
+    partition overwrite so only the buckets present in THIS write are
+    replaced; the audit append happens AFTER the data write commits, so
+    a crash between the two re-runs the bucket (at-least-once,
+    idempotent because the data write is per-bucket overwrite)."""
+    fmt = fmt or storage_format(spark)
     (
-        scored.write.mode("overwrite")
+        scored.write.format(fmt).mode("overwrite")
         # only replace the buckets present in THIS write — completed
         # buckets from previous (partial) runs stay untouched
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("lineage_bucket")
-        .parquet(out_path)
+        .save(out_path)
     )
     if metrics is None:
         metrics = scored.groupBy("lineage_bucket").agg(
@@ -70,7 +114,7 @@ def write_stage(
     audit_rows = metrics.withColumn("stage", F.lit(stage)).withColumn(
         "completed_at", F.current_timestamp()
     )
-    audit_rows.write.mode("append").parquet(audit_path)
+    audit_rows.write.format(fmt).mode("append").save(audit_path)
 
 
 def run_resumable(
@@ -79,11 +123,13 @@ def run_resumable(
     out_path: str,
     audit_path: str,
     stage: str = "quality_filter",
+    fmt: str | None = None,
 ) -> int:
     """Process only pending buckets; returns how many rows were newly
     processed (0 == nothing to do, fully resumed)."""
-    todo = pending(df_pages_scored, spark, audit_path, stage)
+    fmt = fmt or storage_format(spark)
+    todo = pending(df_pages_scored, spark, audit_path, stage, fmt)
     n = todo.count()
     if n > 0:
-        write_stage(todo, spark, out_path, audit_path, stage)
+        write_stage(todo, spark, out_path, audit_path, stage, fmt=fmt)
     return n

@@ -796,10 +796,15 @@ _QUERIES["ann_ivf_topk"] = ann_ivf_topk
 def ann_recall_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible ANN quality gate: recall@5 of BOTH approximate
     indexes against the brute-force truth set (`embedding_topk`, which
-    IS oracle-checked) — one row per method. No SQL oracle (the LSH/IVF
-    assignments are Python GEMM kernels), but the truth side of the
-    semi-join is the exact query the oracle already validates, so the
-    recall number itself is trustworthy evidence."""
+    IS oracle-checked) — one row per method, FILTERED to
+    ``recall_at_5 >= 0.9`` (round-3 verdict item 7). The gate is thus
+    asserted in-query: a recall regression makes its row vanish, which
+    the driver's rows-only check records as a count drop (2 = both
+    gates pass; measured 0.9488 lsh / 0.9024 ivf at sf0.01, both
+    deterministic — md5 planes, deterministic centroids). No SQL oracle
+    (the LSH/IVF assignments are Python GEMM kernels), but the truth
+    side of the semi-join is the exact query the oracle already
+    validates, so the recall number itself is trustworthy evidence."""
     from textcleaning_spark.operators.ivf import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -834,7 +839,9 @@ def ann_recall_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("recall_at_5"),
             )
         )
-    return out[0].unionByName(out[1])
+    return (
+        out[0].unionByName(out[1]).filter(F.col("recall_at_5") >= F.lit(0.9))
+    )
 
 
 _QUERIES["ann_recall_vs_bruteforce"] = ann_recall_vs_bruteforce
