@@ -65,6 +65,8 @@ HEADLINE = [
     "rule_hit_profile",
     "sole_late_supplier",
     "span_contamination",
+    "simhash_near_dup",
+    "revenue_share_suppliers",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

@@ -146,3 +146,20 @@ def test_range_join_equi_prefilter(spark):
     p = plan_str(Q.queries()["events_in_purchase_windows"](spark, SF_ORACLE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_revenue_share_single_fact_scan(spark):
+    """Q11 shape (round 3): the global-total window form must compile
+    to ONE lineitem scan (the subquery form compiled to two) with the
+    supplier dim broadcast."""
+    p = plan_str(Q.queries()["revenue_share_suppliers"](spark, SF_ORACLE))
+    assert p.count("Scan parquet") == 2  # lineitem + supplier, once each
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_simhash_near_dup_stays_native(spark):
+    """The hamming-band near-dup must be pure JVM expressions (no
+    Python stage) and shuffle only the banded keys — no cartesian."""
+    p = plan_str(Q.queries()["simhash_near_dup"](spark, SF_ORACLE))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

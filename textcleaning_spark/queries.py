@@ -67,6 +67,9 @@ _WINDOW_FRONT = [
     "span_contamination",
     # rows-only but never driver-seen at all
     "media_feature_profile",
+    # new in round 3 — need their first driver row
+    "simhash_near_dup",
+    "revenue_share_suppliers",
 ]
 _WINDOW_BACK = [
     # rows-only approximations: driver check is rows-only regardless
@@ -84,6 +87,8 @@ _WINDOW_BACK = [
     "subtoken_counts",
     "doc_length_deciles",
     "events_lead_lag",
+    "routed_union_profile",
+    "idf_descriptive_stats",
 ]
 
 
@@ -646,6 +651,66 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
             .cast("double")
             .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14b. Revenue-share HAVING over a global scalar subquery (TPC-H Q11
+#      shape, round 3): keep suppliers whose discounted revenue exceeds
+#      a fixed fraction of the corpus-wide total.
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_share_suppliers",
+    """
+    WITH srev AS (
+        SELECT s_suppkey, s_name,
+               sum(l_extendedprice::DECIMAL(10,2)
+                   * (1 - l_discount::DECIMAL(10,2))) AS revenue_dec
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_suppkey, s_name
+    )
+    SELECT s_suppkey, s_name, revenue_dec::DOUBLE AS revenue
+    FROM srev
+    WHERE revenue_dec::DOUBLE > (
+        SELECT (sum(revenue_dec))::DOUBLE * 0.0105 FROM srev
+    )
+    """,
+)
+def revenue_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: grouped exact-decimal revenue filtered against a
+    scalar fraction of the GLOBAL total. The total is a global-frame
+    window SUM over the GROUPED relation — so lineitem is scanned and
+    shuffled exactly ONCE (scan → partial agg → shuffle on s_suppkey →
+    window → filter); the referenced-twice subquery form compiled to
+    two full fact scans (no exchange reuse in the static plan). The
+    single-partition window holds one row per SUPPLIER (bounded dim
+    cardinality, ~10k/SF — not corpus-sized); were the group key
+    unbounded, the agg-then-broadcast-back form would replace it. Both
+    the per-group and global sums are exact decimal-space sums cast to
+    double, so the share boundary is deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    dec = lambda c: F.col(c).cast("decimal(10,2)")  # noqa: E731
+    srev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .alias("revenue_dec")
+        )
+    )
+    cutoff = (
+        F.sum("revenue_dec").over(Window.partitionBy()).cast("double")
+        * F.lit(0.0105)
+    )
+    return (
+        srev.withColumn("cutoff", cutoff)
+        .filter(F.col("revenue_dec").cast("double") > F.col("cutoff"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("revenue_dec").cast("double").alias("revenue"),
         )
     )
 
@@ -1222,6 +1287,43 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup docs differ in few fingerprint bits."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash16(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# 29b. SimHash hamming-band near-dup pairs (round 3): band equi-join +
+#      bit_count(xor) filter — exact for hamming <= bands-1 by
+#      pigeonhole, shuffling O(docs × bands) keys, never the O(N²)
+#      pair space (Manku/Jain/Sarma WWW 2007 blocking).
+# ---------------------------------------------------------------------------
+@register(
+    "simhash_near_dup",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, {_simhash_sql('text')} AS simhash FROM documents
+    ), bands AS (
+        SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band FROM fp
+    ), keyed AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * 4)) & 15 AS band_val
+        FROM bands
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS fp_a, b.simhash AS fp_b
+        FROM keyed a
+        JOIN keyed b ON a.band = b.band AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
+    FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    """,
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within hamming distance 3 of each other's
+    16-bit SimHash, found by the 4×4-bit band join (exact at this
+    radius — see operators/dedup.simhash_near_dup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_near_dup(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
