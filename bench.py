@@ -67,6 +67,7 @@ HEADLINE = [
     "span_contamination",
     "simhash_near_dup",
     "revenue_share_suppliers",
+    "winnow_fingerprints",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

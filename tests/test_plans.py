@@ -157,6 +157,24 @@ def test_revenue_share_single_fact_scan(spark):
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
 
 
+def test_winnow_fingerprints_shuffle_free(spark):
+    """Winnowing is a per-row selection: one scan, zero Exchanges, no
+    Python stage, and NO inferred-filter duplication — plain explode
+    lets the optimizer push `size(__pos) > 0` below the Projects,
+    re-inlining the whole winnowing tree into a pre-filter (everything
+    computed twice); the explode_outer form must keep exactly one
+    Filter, above the Generate."""
+    p = plan_str(Q.queries()["winnow_fingerprints"](spark, SF_ORACLE))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # only the post-generate null filter ("Filter" also appears inside
+    # the FileScan's PushedFilters/PartitionFilters annotations)
+    import re
+
+    assert len(re.findall(r"\bFilter (?:isnotnull|\()", p)) == 1
+    assert "Filter isnotnull(pos" in p
+
+
 def test_simhash_near_dup_stays_native(spark):
     """The hamming-band near-dup must be pure JVM expressions (no
     Python stage) and shuffle only the banded keys — no cartesian."""

@@ -295,6 +295,103 @@ def simhash_near_dup(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the public local-fingerprinting algorithm behind
+    MOSS): hash every token ``k``-gram, slide a window of ``w``
+    consecutive gram hashes, and select the minimum hash per window
+    (FIRST position on ties — the paper's robust variant picks the
+    rightmost, which is stateful; the leftmost rule is chosen here
+    because it is a pure per-window argmin, identically expressible in
+    Spark and the SQL oracle, with the same density bound 2/(w+1)).
+
+    Guarantee: any two documents sharing a token run of at least
+    ``k + w - 1`` tokens share at least one selected fingerprint, so a
+    fingerprint equi-join finds every long-enough overlap while keeping
+    only ~2/(w+1) of the gram hashes. Docs with fewer than ``k`` tokens
+    yield no fingerprints (nothing to gram).
+
+    Scale shape: the whole selection is per-row native array math
+    inside one codegen'd project (no Python stage, no shuffle); the
+    output explode is O(docs × fingerprints/doc). Downstream contain-
+    ment joins shuffle only (fp, doc, pos) triples — 24-byte keys, the
+    text never moves. O(n·w) work per doc with w small and constant.
+
+    Reference analogue: the reference fingerprints only whole documents
+    (set(doc) membership, text_process_v5.py A5); winnowing is the
+    substring-robust generalization a contamination/clone scan needs.
+    """
+    toked = df.select(F.col(doc_col), tokens(text_col).alias("__toks"))
+    # gram hashes materialized ONCE as a column (CLAUDE.md pipeline-
+    # shape rule: a reused Column expression is built as N tree copies)
+    gh = toked.withColumn(
+        "__g",
+        F.when(
+            F.size("__toks") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(" ", F.slice("__toks", i, F.lit(k))),
+                                "UTF-8",
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    ).drop("__toks")
+    # per-window argmin over the materialized hash array; sequence(1, n)
+    # is guarded behind size >= 1 (negative-step gotcha) and the short-
+    # doc case (0 < grams < w) gets a single whole-list window
+    sel = gh.withColumn(
+        "__pos",
+        F.expr(
+            f"""
+            array_distinct(CASE WHEN size(__g) >= 1 THEN
+              transform(
+                sequence(1, CASE WHEN size(__g) >= {w}
+                              THEN size(__g) - {w - 1} ELSE 1 END),
+                i -> CAST(i - 1 + array_position(
+                       slice(__g, i, {w}),
+                       array_min(slice(__g, i, {w}))) AS BIGINT))
+            ELSE CAST(array() AS array<bigint>) END)
+            """
+        ),
+    )
+    # explode_outer + post-generate null filter, NOT plain explode: the
+    # optimizer infers `size(__pos) > 0` from a non-outer Generate and
+    # pushes it below the Projects, re-inlining the ENTIRE winnowing
+    # expression tree into the filter condition (the whole computation
+    # would run twice per row — observed in the physical plan). The
+    # null-row overhead (one row per fingerprint-less doc) is noise.
+    return (
+        sel.select(
+            F.col(doc_col),
+            F.col("__g"),
+            F.explode_outer("__pos").alias("pos"),
+        )
+        .filter(F.col("pos").isNotNull())
+        .select(
+            F.col(doc_col),
+            F.col("pos"),
+            F.expr("element_at(__g, CAST(pos AS INT))").alias("fp"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

@@ -70,6 +70,7 @@ _WINDOW_FRONT = [
     # new in round 3 — need their first driver row
     "simhash_near_dup",
     "revenue_share_suppliers",
+    "winnow_fingerprints",
 ]
 _WINDOW_BACK = [
     # rows-only approximations: driver check is rows-only regardless
@@ -89,6 +90,7 @@ _WINDOW_BACK = [
     "events_lead_lag",
     "routed_union_profile",
     "idf_descriptive_stats",
+    "idf_quantile_cutoff",
 ]
 
 
@@ -1659,6 +1661,54 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.cast("bigint").alias("fingerprint"),
         F.size(toks).cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 36b. Winnowing fingerprints (round 3): per-window argmin over 3-gram
+#      hashes — the substring-robust local fingerprint (Schleimer et
+#      al. SIGMOD 2003); any shared token run of >= k+w-1 = 6 tokens
+#      shares a selected fingerprint.
+# ---------------------------------------------------------------------------
+@register(
+    "winnow_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(1, len(toks) - 1),
+                   i -> ('0x' || substring(md5(
+                            array_to_string(list_slice(toks, i, i + 2), ' ')
+                         ), 1, 8))::BIGINT)
+               ELSE CAST([] AS BIGINT[]) END AS gh
+        FROM t
+    ),
+    sel AS (
+        SELECT doc_id, gh,
+               list_distinct(CASE WHEN len(gh) >= 1 THEN
+                 list_transform(
+                   range(1, CASE WHEN len(gh) >= 4
+                                THEN len(gh) - 2 ELSE 2 END),
+                   i -> (i - 1 + list_position(
+                          list_slice(gh, i, i + 3),
+                          list_aggregate(list_slice(gh, i, i + 3), 'min')
+                        ))::BIGINT)
+               ELSE CAST([] AS BIGINT[]) END) AS pos
+        FROM g
+    )
+    SELECT doc_id,
+           unnest(pos)::BIGINT AS pos,
+           unnest(list_transform(pos, p -> gh[p]))::BIGINT AS fp
+    FROM sel
+    """,
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (k=3 token grams, window w=4,
+    leftmost-min tie-break) — see operators/dedup.winnow_fingerprints
+    for the guarantee and the 100 TB shape (one codegen'd project, no
+    shuffle; only (doc, pos, fp) triples ever move)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
 
 
 # ---------------------------------------------------------------------------
