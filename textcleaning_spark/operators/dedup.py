@@ -156,7 +156,14 @@ def token_jaccard_pairs(
         F.col(doc_col).alias("doc"),
         F.array_distinct(tokens(text_col)).alias("toks"),
     ).withColumn("sz", F.size("toks"))
-    tok = tok_sets.select("doc", "sz", F.explode("toks").alias("word"))
+    # explode_outer + null filter: a plain explode of the materialized
+    # column makes the optimizer infer `size(toks) > 0` and push it
+    # below the Project, re-inlining array_distinct(split(...)) so the
+    # tokenization runs twice per row (see winnow_fingerprints note).
+    tok = (
+        tok_sets.select("doc", "sz", F.explode_outer("toks").alias("word"))
+        .filter(F.col("word").isNotNull())
+    )
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc").orderBy("df", "word")
     prefix = (
