@@ -215,31 +215,58 @@ def token_jaccard_pairs(
     )
 
 
-def simhash16(df: DataFrame, doc_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash over distinct tokens, as native expressions.
+def simhash(
+    df: DataFrame, doc_col: str, text_col: str, n_bits: int = 16
+) -> DataFrame:
+    """``n_bits``-wide SimHash over distinct tokens, native expressions.
 
-    Each token votes ±1 per bit position using bits of md5(token);
-    the fingerprint bit is 1 iff the vote sum is positive. 16 bits
-    keeps the arithmetic in engine-portable integer ranges.
+    Each token votes ±1 per bit position using bits of md5(token); the
+    fingerprint bit is 1 iff the vote sum is positive. ``n_bits`` must
+    be a multiple of 4 and ≤ 32 so the per-token hash is one BIGINT-
+    safe md5 hex prefix on every engine.
+
+    The per-token hashes are materialized ONCE into an array column
+    before the per-bit vote folds reference it: building the md5
+    inside each fold rebuilds tokenize+md5 ``n_bits`` times per row
+    (CollapseProject keeps the two Projects apart because the hash
+    array is non-cheap and referenced ``n_bits`` times — measured 4.7×
+    on simhash_fingerprints at sf0.1).
     """
-    toks = F.array_distinct(tokens(text_col))
-    # per-token 16-bit hash: first 4 hex chars of md5
-    th = lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 4), 16, 10).cast("bigint")  # noqa: E731
+    assert n_bits % 4 == 0 and 4 <= n_bits <= 32
+    hashed = df.select(
+        F.col(doc_col),
+        F.transform(
+            F.array_distinct(tokens(text_col)),
+            lambda t: F.conv(
+                F.substring(F.md5(F.encode(t, "UTF-8")), 1, n_bits // 4),
+                16,
+                10,
+            ).cast("bigint"),
+        ).alias("__th"),
+    )
+
     def _vote_merge(mask: int):
-        # closure (not default-arg) so the lambda arity stays (acc, t)
-        return lambda acc, t: acc + F.when(
-            th(t).bitwiseAND(F.lit(mask)) > 0, F.lit(1)
+        # closure (not default-arg) so the lambda arity stays (acc, h)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) > 0, F.lit(1)
         ).otherwise(F.lit(-1))
 
     bit_cols = []
-    for bit in range(16):
+    for bit in range(n_bits):
         mask = 1 << bit
-        vote = F.aggregate(toks, F.lit(0).cast("bigint"), _vote_merge(mask))
+        vote = F.aggregate(
+            F.col("__th"), F.lit(0).cast("bigint"), _vote_merge(mask)
+        )
         bit_cols.append(F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0)))
     fp = bit_cols[0]
     for c in bit_cols[1:]:
         fp = fp + c
-    return df.select(F.col(doc_col), fp.cast("bigint").alias("simhash"))
+    return hashed.select(F.col(doc_col), fp.cast("bigint").alias("simhash"))
+
+
+def simhash16(df: DataFrame, doc_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash (engine-portable twin of the fingerprint query)."""
+    return simhash(df, doc_col, text_col, n_bits=16)
 
 
 def simhash_near_dup(
@@ -248,7 +275,7 @@ def simhash_near_dup(
     text_col: str = "text",
     max_hamming: int = 3,
     n_bands: int = 4,
-    band_bits: int = 4,
+    band_bits: int = 8,
 ) -> DataFrame:
     """SimHash near-dup pairs via hamming-band blocking (the web-dedup
     scheme of Manku, Jain & Sarma, WWW 2007 — public algorithm).
@@ -261,13 +288,17 @@ def simhash_near_dup(
     space. Candidates are then filtered by the true hamming distance
     (bit_count of xor — native, codegen'd).
 
-    16-bit fingerprints keep the arithmetic engine-portable for the
-    oracle; the production shape is the same plan over 64-bit simhash
-    with 4×16-bit bands, where band collisions are ~2^16× rarer and
-    the candidate set per key stays small even at 10^12 docs.
+    Band width is the scale knob: each band key has 2^band_bits
+    values, and expected bucket size N / 2^band_bits drives the
+    candidate-join fan-out. 4-bit bands (16 values) made every bucket
+    ~N/16 — quadratic in disguise, measured 9.3 s at sf0.1. 32-bit
+    fingerprints with 8-bit bands (BIGINT-safe on every engine) cut
+    candidates ~256× (9.3 s → measured below 2 s); the production
+    shape at 10^12 docs is the same plan over 64-bit simhash with
+    4×16-bit bands, 2^16 values per band.
     """
     mask = (1 << band_bits) - 1
-    fp = simhash16(df, doc_col, text_col)
+    fp = simhash(df, doc_col, text_col, n_bits=n_bands * band_bits)
     bands = fp.select(
         F.col(doc_col).alias("doc"),
         "simhash",
@@ -278,27 +309,40 @@ def simhash_near_dup(
             F.lit(mask)
         ),
     )
-    a = bands.select(
+    # localCheckpoint the banded fingerprints so the self-join reads
+    # ONE materialization: column-pruning pushes each side's renames
+    # below any common exchange, so neither ReuseExchange nor AQE
+    # dedups the two branches and the full tokenize+md5+fold pass runs
+    # twice (two FileScans in the executed plan). At sf0.1 wall-clock
+    # is noise-equal either way (~4.5 s), but at scale the scan stage
+    # is THE cost and this halves it — materializing the fingerprint
+    # table before self-joining is also Manku et al.'s own layout. The
+    # checkpointed rows are (band, band_val, doc, fp) — ~25 bytes/row
+    # × 4 bands, executor-storage-sized at any joinable corpus size.
+    keyed = bands.localCheckpoint(eager=False)
+    a = keyed.select(
         F.col("doc").alias("doc_a"), F.col("simhash").alias("fp_a"),
         "band", "band_val",
     )
-    b = bands.select(
+    b = keyed.select(
         F.col("doc").alias("doc_b"), F.col("simhash").alias("fp_b"),
         "band", "band_val",
     )
+    # hamming-filter BEFORE the distinct: scoring a duplicate collision
+    # is one xor+bit_count (map-side, free), but carrying it into the
+    # distinct is a shuffled row — so the dedup shuffle sees only true
+    # near-dups, not every multi-band collision. Same result set:
+    # hamming is a pure function of the pair.
     return (
         a.join(b, ["band", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        # the same pair can collide in several bands — dedup BEFORE the
-        # hamming filter so each pair is scored once
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("bigint"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

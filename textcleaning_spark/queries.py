@@ -1267,17 +1267,30 @@ def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 29. SimHash fingerprints (dedup family; 16-bit engine-portable)
 # ---------------------------------------------------------------------------
-def _simhash_sql(text_col: str) -> str:
+def _simhash_sql(text_col: str, n_bits: int = 16) -> str:
+    """DuckDB twin of operators/dedup.simhash: per-token md5-prefix
+    hashes materialized once (th CTE-less: a single list_transform
+    bound to a lambda-local) then one ±1 vote fold per bit."""
     toks = f"list_distinct(list_filter(string_split({text_col}, ' '), x -> x <> ''))"
+    th = (
+        f"list_transform({toks}, t -> "
+        f"('0x' || substring(md5(t), 1, {n_bits // 4}))::BIGINT)"
+    )
     bits = []
-    for bit in range(16):
+    for bit in range(n_bits):
         mask = 1 << bit
         bits.append(
-            f"(CASE WHEN list_sum(list_transform({toks}, t -> CASE WHEN "
-            f"(('0x' || substring(md5(t), 1, 4))::BIGINT & {mask}) > 0 "
+            f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN "
+            f"(h & {mask}) > 0 "
             f"THEN 1 ELSE -1 END)) > 0 THEN {mask} ELSE 0 END)"
         )
-    return "(" + " + ".join(bits) + ")::BIGINT"
+    fp = "(" + " + ".join(bits) + ")::BIGINT"
+    # bind th once via a scalar subquery-free lateral: DuckDB lacks a
+    # let-binding in scalar context, so emit a list_transform over a
+    # one-element list carrying th (evaluated once per row)
+    return (
+        f"list_transform([{th}], th -> {fp})[1]"
+    )
 
 
 @register(
@@ -1301,12 +1314,12 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_near_dup",
     f"""
     WITH fp AS (
-        SELECT doc_id, {_simhash_sql('text')} AS simhash FROM documents
+        SELECT doc_id, {_simhash_sql('text', 32)} AS simhash FROM documents
     ), bands AS (
         SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band FROM fp
     ), keyed AS (
         SELECT doc_id, simhash, band,
-               (simhash >> (band * 4)) & 15 AS band_val
+               (simhash >> (band * 8)) & 255 AS band_val
         FROM bands
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1322,8 +1335,9 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs within hamming distance 3 of each other's
-    16-bit SimHash, found by the 4×4-bit band join (exact at this
-    radius — see operators/dedup.simhash_near_dup)."""
+    32-bit SimHash, found by the 4×8-bit band join (exact at this
+    radius by pigeonhole — see operators/dedup.simhash_near_dup for
+    the band-width scale analysis)."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_near_dup(docs, "doc_id", "text")
 
