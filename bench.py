@@ -68,6 +68,7 @@ HEADLINE = [
     "simhash_near_dup",
     "revenue_share_suppliers",
     "winnow_fingerprints",
+    "source_quality_filter",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

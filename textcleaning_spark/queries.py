@@ -71,6 +71,7 @@ _WINDOW_FRONT = [
     "simhash_near_dup",
     "revenue_share_suppliers",
     "winnow_fingerprints",
+    "source_quality_filter",
 ]
 _WINDOW_BACK = [
     # rows-only approximations: driver check is rows-only regardless
@@ -91,6 +92,7 @@ _WINDOW_BACK = [
     "routed_union_profile",
     "idf_descriptive_stats",
     "idf_quantile_cutoff",
+    "major_pos",
 ]
 
 
@@ -417,6 +419,57 @@ def doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_word_len"
         ),
         F.round(F.avg("stop_word_count"), 4).alias("avg_stop_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8b. Source-level quality filter (round 3) — the URL/domain-level
+#     filtering pass of C4/RefinedWeb-style pipelines: aggregate the
+#     per-document keep verdict to the source and flag sources whose
+#     keep rate falls below the blocklist threshold.
+# ---------------------------------------------------------------------------
+@register(
+    "source_quality_filter",
+    f"""
+    WITH scored AS (
+        SELECT source,
+               {T.n_words_sql('text')} AS n_words,
+               CASE WHEN {T.keep_expr_sql('text')} THEN 1 ELSE 0 END AS keep
+        FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(keep)::BIGINT AS n_kept,
+           round(sum(keep)::DOUBLE / count(*), 6) AS keep_rate,
+           round(avg(n_words), 4) AS avg_words,
+           (sum(keep) * 100 < count(*) * 85) AS blocked
+    FROM scored
+    GROUP BY source
+    """,
+)
+def source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality gate: per-source doc counts, keep rate and
+    a `blocked` flag (keep rate < 0.85). The flag is computed in exact
+    integer arithmetic (n_kept*100 < n_docs*85), never from the
+    rounded rate — the CLAUDE.md unrounded-verdict invariant; the
+    displayed rate is rounded separately. One scan, one shuffle on
+    source; at web scale this is the per-domain reputation table that
+    gates URL-level filtering (C4 §2.1 / RefinedWeb §3.1 shape —
+    public heuristics)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    scored = q.score_documents(docs, "text", _QCFG).select(
+        "source",
+        "n_words",
+        F.when(F.col("keep"), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.round(F.sum("keep").cast("double") / F.count(F.lit(1)), 6).alias(
+            "keep_rate"
+        ),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        (F.sum("keep") * 100 < F.count(F.lit(1)) * 85).alias("blocked"),
     )
 
 
