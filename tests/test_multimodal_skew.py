@@ -73,14 +73,90 @@ def test_real_features_content_derived(spark):
 
 
 def test_media_compressed_formats_raise(spark):
-    """PNG/MP4 genuinely need PIL/ffmpeg — those paths stay an honest
-    NotImplementedError."""
+    """JPEG/MP4 genuinely need PIL/ffmpeg (DCT/entropy codecs) — those
+    paths stay an honest NotImplementedError. PNG decodes for real now
+    (stdlib zlib + numpy unfilter)."""
     from textcleaning_spark.multimodal.media import _real_features
 
     with pytest.raises(NotImplementedError):
-        _real_features(b"\x89PNG...", "image/png")
+        _real_features(b"\xff\xd8\xff\xe0...", "image/jpeg")
     with pytest.raises(NotImplementedError):
         _real_features(b"\x00\x00\x00 ftypmp42", "video/mp4")
+
+
+def test_png_roundtrip_and_filters():
+    """encode_png→decode_png is exact; the decoder also reconstructs
+    scanlines written with every RFC 2083 filter type (Sub/Up/Average/
+    Paeth forward-filtered by hand here, since the encoder emits only
+    filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from textcleaning_spark.multimodal import media as M
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert (M.decode_png(M.encode_png(rgb)) == rgb).all()
+
+    # forward-filter each row with filter type (row index mod 5)
+    h, w, ch = rgb.shape
+    flat = rgb.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prior = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        px = cur.reshape(w, ch)
+        left = np.vstack([np.zeros(ch, np.int32), px[:-1]])  # a
+        up = prior.reshape(w, ch)  # b
+        ul = np.vstack([np.zeros(ch, np.int32), up[:-1]])  # c
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (px - left).reshape(-1) % 256
+        elif f == 2:
+            filt = (cur - prior) % 256
+        elif f == 3:
+            filt = (px - ((left + up) >> 1)).reshape(-1) % 256
+        else:  # Paeth
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            filt = (px - pred).reshape(-1) % 256
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + M._png_chunk(b"IEND", b"")
+    )
+    assert (M.decode_png(png) == rgb).all()
+
+
+def test_png_features_equal_bmp_features():
+    """The same pixels produce the same real features through either
+    image codec — so the generator's BMP/PNG alternation cannot change
+    any aggregate."""
+    import numpy as np
+
+    from textcleaning_spark.multimodal import media as M
+
+    rgb = (np.arange(6 * 8 * 3, dtype=np.uint32) % 256).astype(np.uint8)
+    rgb = rgb.reshape(6, 8, 3)
+    assert M._real_features(M.encode_bmp(rgb), "image/bmp") == M._real_features(
+        M.encode_png(rgb), "image/png"
+    )
+    # resize parity too: same resample through either codec
+    small_b = M.decode_bmp(M.resize_bmp(M.encode_bmp(rgb), "image/bmp", 4, 3))
+    small_p = M.decode_png(M.resize_bmp(M.encode_png(rgb), "image/png", 4, 3))
+    assert (small_b == small_p).all()
 
 
 def test_real_resize_resamples_pixels(spark):

@@ -10,22 +10,26 @@ Decode is REAL for uncompressed container formats, implemented here
 with numpy + struct only (both published byte layouts):
 
 * ``image/bmp``   — 24-bit uncompressed Windows BMP (BITMAPINFOHEADER)
+* ``image/png``   — 8-bit non-interlaced gray/RGB/RGBA PNG (RFC 2083):
+  stdlib zlib inflate + full scanline unfilter (None/Sub/Up/Average/
+  Paeth) in numpy — PNG's only non-trivial parts are exactly those two
 * ``audio/wav``   — RIFF/WAVE PCM 16-bit mono
 * ``video/x-raw-frames`` — a trivial length-prefixed container of BMP
   frames (magic ``RAWVID01``), standing in for a frame-accurate
   demuxer.
 
-COMPRESSED formats (PNG/JPEG/MP3/MP4) need PIL/ffmpeg/torchaudio,
-which are NOT in this container: ``mode="real"`` raises
-NotImplementedError for those mimes with the integration point
-documented. ``mode="fake"`` (hash-derived features) remains for
-payload-agnostic plumbing tests.
+Formats whose codecs genuinely cannot be reimplemented here
+(JPEG/MP3/MP4 — DCT/entropy coders) need PIL/ffmpeg/torchaudio, which
+are NOT in this container: ``mode="real"`` raises NotImplementedError
+for those mimes with the integration point documented. ``mode="fake"``
+(hash-derived features) remains for payload-agnostic plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -103,6 +107,108 @@ def decode_bmp(b: bytes) -> np.ndarray:
     rows = np.frombuffer(b, dtype=np.uint8, count=row_size * h, offset=off)
     bgr = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
     return bgr[::-1, :, ::-1].copy()
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 8-bit truecolor PNG (filter-0 scanlines,
+    stdlib zlib deflate)."""
+    h, w, _ = rgb.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = rgb.reshape(h, w * 3)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """8-bit non-interlaced gray/RGB/RGBA PNG → (h, w, 3) uint8 RGB.
+
+    Full RFC 2083 scanline unfiltering: None and Up are whole-row
+    vector ops, Sub is a per-channel-lane cumulative sum, Average and
+    Paeth carry a true left-neighbor dependency and run as per-pixel
+    loops vectorized across channels. CRCs are not verified (decode,
+    not integrity-check, is this kernel's job)."""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = bitd = color = interlace = None
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bitd, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if bitd != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise ValueError(
+            f"only 8-bit non-interlaced gray/RGB/RGBA supported "
+            f"(bit depth {bitd}, color type {color}, interlace {interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    raw = raw.reshape(h, 1 + w * ch)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    recon = np.zeros((h, w * ch), np.int32)
+    prior = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        f, line = int(filters[y]), lines[y]
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            cur = (line.reshape(w, ch).cumsum(axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            cur = (line + prior) % 256
+        elif f == 3:  # Average (left dependency → pixel loop)
+            cur = np.empty(w * ch, np.int32)
+            ln2, pr = line.reshape(w, ch), prior.reshape(w, ch)
+            left = np.zeros(ch, np.int32)
+            for x in range(w):
+                left = (ln2[x] + ((left + pr[x]) >> 1)) % 256
+                cur[x * ch : (x + 1) * ch] = left
+        elif f == 4:  # Paeth (left + upper-left dependency → pixel loop)
+            cur = np.empty(w * ch, np.int32)
+            ln2, pr = line.reshape(w, ch), prior.reshape(w, ch)
+            left = np.zeros(ch, np.int32)
+            ul = np.zeros(ch, np.int32)
+            for x in range(w):
+                a, up, c = left, pr[x], ul
+                p = a + up - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - up), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, up, c)
+                )
+                left = (ln2[x] + pred) % 256
+                ul = up
+                cur[x * ch : (x + 1) * ch] = left
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        recon[y] = cur
+        prior = cur
+    img = recon.astype(np.uint8).reshape(h, w, ch)
+    if color == 0:
+        return np.repeat(img, 3, axis=-1)
+    if color == 6:
+        return np.ascontiguousarray(img[..., :3])
+    return img
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -199,8 +305,16 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 height = 32 + (i % 5) * 16 if kind == "image" else None
                 rate = 16_000 if kind == "audio" else None
                 dur = 200 + (i % 10) * 100 if kind in ("audio", "video") else None
+                mime = _MIMES[kind]
                 if kind == "image":
-                    payload = encode_bmp(_image_pixels(seed, i, width, height))
+                    pixels = _image_pixels(seed, i, width, height)
+                    # alternate BMP/PNG so BOTH real image codecs flow
+                    # through the pipeline; pixel content (and thus
+                    # every feature) is identical either way
+                    if (i // 3) % 2 == 1:
+                        payload, mime = encode_png(pixels), "image/png"
+                    else:
+                        payload = encode_bmp(pixels)
                 elif kind == "audio":
                     payload = encode_wav(_audio_samples(seed, i, rate, dur), rate)
                 else:
@@ -218,7 +332,7 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                         "height": height,
                         "sample_rate": rate,
                         "duration_ms": dur,
-                        "mime": _MIMES[kind],
+                        "mime": mime,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -229,7 +343,7 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
-_DECODABLE = {"image/bmp", "audio/wav", "video/x-raw-frames"}
+_DECODABLE = {"image/bmp", "image/png", "audio/wav", "video/x-raw-frames"}
 
 
 def _fake_features(payload: bytes) -> list[float]:
@@ -238,8 +352,8 @@ def _fake_features(payload: bytes) -> list[float]:
 
 
 def _real_features(payload: bytes, mime: str) -> list[float]:
-    if mime == "image/bmp":
-        rgb = decode_bmp(payload)
+    if mime in ("image/bmp", "image/png"):
+        rgb = decode_bmp(payload) if mime == "image/bmp" else decode_png(payload)
         h, w, _ = rgb.shape
         gray = rgb.astype(np.float64).mean(axis=-1)
         f = [w, h, rgb[..., 0].mean(), rgb[..., 1].mean(),
@@ -258,10 +372,10 @@ def _real_features(payload: bytes, mime: str) -> list[float]:
              float(first.std()), 0.0, 0.0, 3.0]
     else:
         raise NotImplementedError(
-            f"compressed format {mime!r} needs PIL/ffmpeg/torchaudio "
-            "(not in this container); plug the codec in here — the "
-            "Spark plumbing (schema, batching, partitioning) is "
-            "identical for the uncompressed formats already handled"
+            f"format {mime!r} needs PIL/ffmpeg/torchaudio (DCT/entropy "
+            "codecs are not reimplementable here); plug the codec in "
+            "here — the Spark plumbing (schema, batching, partitioning) "
+            "is identical for the formats already handled"
         )
     return [round(float(v), 6) for v in f]
 
@@ -336,17 +450,19 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, mode: str = "real") -> Da
 
 
 def resize_bmp(p: bytes, mime: str, width: int, height: int) -> bytes:
-    """True nearest-neighbor resample of a BMP payload (numpy index
-    gather); non-BMP mimes raise (PIL integration point)."""
-    if mime != "image/bmp":
+    """True nearest-neighbor resample of a BMP or PNG payload (numpy
+    index gather), re-encoded in the same format; JPEG raises (PIL
+    integration point)."""
+    if mime not in ("image/bmp", "image/png"):
         raise NotImplementedError(
             f"resizing {mime!r} needs PIL (not in this container)"
         )
-    rgb = decode_bmp(p)
+    rgb = decode_bmp(p) if mime == "image/bmp" else decode_png(p)
     h, w, _ = rgb.shape
     yi = (np.arange(height) * h // height).clip(0, h - 1)
     xi = (np.arange(width) * w // width).clip(0, w - 1)
-    return encode_bmp(rgb[yi[:, None], xi[None, :]])
+    out = rgb[yi[:, None], xi[None, :]]
+    return encode_bmp(out) if mime == "image/bmp" else encode_png(out)
 
 
 def resize_images(df: DataFrame, width: int, height: int, mode: str = "real") -> DataFrame:

@@ -2274,9 +2274,11 @@ def char_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def media_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → mapInPandas REAL decode (pure-numpy BMP /
-    PCM-WAV / raw-frames codecs, multimodal/media.py) → feature
-    kernel → per-kind profile. Compressed formats (PNG/MP4) remain the
-    documented PIL/ffmpeg integration point."""
+    PNG (zlib inflate + scanline unfilter) / PCM-WAV / raw-frames
+    codecs, multimodal/media.py) → feature kernel → per-kind profile;
+    generated images alternate BMP/PNG so both codecs flow through.
+    DCT/entropy formats (JPEG/MP4) remain the documented PIL/ffmpeg
+    integration point."""
     from textcleaning_spark.multimodal.media import extract_features, generate_media
 
     media = generate_media(spark, 300, seed=11)
