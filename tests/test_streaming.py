@@ -6,6 +6,7 @@ from __future__ import annotations
 from textcleaning_spark.plans.pipeline import run_quality_pipeline
 from textcleaning_spark.sources.pages import generate_pages
 from textcleaning_spark.streaming.stream import (
+    dedup_stream,
     read_pages_stream,
     run_quality_stream_once,
     windowed_lang_counts,
@@ -46,3 +47,29 @@ def test_windowed_lang_counts(spark, tmp_path):
     # complete mode emits every window incl. the one the watermark has
     # not closed yet (append mode would hold back the last window)
     assert out == 100
+
+
+def test_dedup_stream_first_seen_wins(spark, tmp_path):
+    """Streaming exact dedup: the same corpus written twice into the
+    source dedups to one copy per distinct text (duplicates share the
+    same event time, so they are inside every watermark window);
+    watermark state keys are hashes, never text."""
+    src = str(tmp_path / "src")
+    pages = generate_pages(spark, 60, seed=31, partitions=2)
+    pages.write.parquet(src)
+    pages.write.mode("append").parquet(src)
+
+    n_distinct = pages.select("text").distinct().count()
+    deduped = dedup_stream(read_pages_stream(spark, src))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedupstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT text) AS nd FROM dedupstream"
+    ).collect()[0]
+    assert got["n"] == got["nd"] == n_distinct

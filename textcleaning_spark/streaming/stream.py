@@ -60,6 +60,34 @@ def windowed_lang_counts(
     )
 
 
+def dedup_stream(
+    pages: DataFrame,
+    key_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen wins per content hash, with
+    state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark``): two pages whose event times
+    fall within the watermark window dedup against each other; state
+    for hashes older than the watermark is evicted, so memory is
+    O(docs-per-watermark-window), not O(corpus). That is the right
+    semantics for a crawl feed — recrawl duplicates cluster in time —
+    while historical dedup stays the batch job (operators/dedup).
+
+    The dedup key is xxhash64(md5(text)) packed next to the 128-bit
+    digest — state stores the tiny key pair, never the text.
+    """
+    keyed = pages.withColumn(
+        "__h", F.md5(F.encode(F.col(key_col), "UTF-8"))
+    ).withColumn("__h64", F.xxhash64(F.col("__h")))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h64", "__h"])
+        .drop("__h64", "__h")
+    )
+
+
 def write_stream_parquet(
     df: DataFrame, out_path: str, checkpoint: str, available_now: bool = True
 ):
