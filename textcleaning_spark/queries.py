@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from textcleaning_spark.config import CorpusStatsConfig, QualityConfig, stop_pos
 from textcleaning_spark.functions import text as T
 from textcleaning_spark.functions import tagger
+from textcleaning_spark.operators import classifier as clf
 from textcleaning_spark.operators import cooccurrence as co
 from textcleaning_spark.operators import corpus_stats as cs
 from textcleaning_spark.operators import quality as q
@@ -72,9 +73,11 @@ _WINDOW_FRONT = [
     "revenue_share_suppliers",
     "winnow_fingerprints",
     "source_quality_filter",
+    "nb_quality_confusion",
 ]
 _WINDOW_BACK = [
     # rows-only approximations: driver check is rows-only regardless
+    "char_bigram_ppl",  # stable (r1+r2 green); rotated out for nb_quality_confusion
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_recall_vs_bruteforce",
@@ -470,6 +473,96 @@ def source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("n_words"), 4).alias("avg_words"),
         (F.sum("keep") * 100 < F.count(F.lit(1)) * 85).alias("blocked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8c. Naive-Bayes quality classifier distilled from the rule verdict
+#     (round 3) — the CCNet/DSIR-shape: rules label the corpus, a
+#     linear classifier is trained on those labels in ONE aggregation,
+#     and scoring is a broadcast join + integer sum. Deterministic via
+#     fixed-point micro-unit log-odds (see operators/classifier.py).
+# ---------------------------------------------------------------------------
+@register(
+    "nb_quality_confusion",
+    f"""
+    WITH labeled AS (
+        SELECT doc_id, {T.keep_expr_sql('text')} AS keep FROM documents
+    ),
+    tokd AS (
+        SELECT DISTINCT doc_id, unnest({_TOK}) AS word FROM documents
+    ),
+    tokl AS (
+        SELECT t.doc_id, l.keep, t.word FROM tokd t JOIN labeled l USING (doc_id)
+    ),
+    totals AS (
+        SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS nkeep,
+               sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS ndrop
+        FROM labeled
+    ),
+    counts AS (
+        SELECT word,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS nk,
+               sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS nd
+        FROM tokl GROUP BY word
+    ),
+    lo AS (
+        SELECT word,
+               CAST(round(round(
+                   ln((nk + 1)::DOUBLE / (nkeep + 2))
+                   - ln((nd + 1)::DOUBLE / (ndrop + 2)), 6) * 1000000, 0)
+               AS BIGINT) AS present_micro,
+               CAST(round(round(
+                   ln((nkeep + 1 - nk)::DOUBLE / (nkeep + 2))
+                   - ln((ndrop + 1 - nd)::DOUBLE / (ndrop + 2)), 6) * 1000000, 0)
+               AS BIGINT) AS absent_micro
+        FROM counts CROSS JOIN totals
+    ),
+    konst AS (
+        SELECT (SELECT CAST(round(round(
+                   ln((nkeep + 1)::DOUBLE / (ndrop + 1)), 6) * 1000000, 0)
+               AS BIGINT) FROM totals)
+               + (SELECT sum(absent_micro)::BIGINT FROM lo) AS const_micro
+    ),
+    docsum AS (
+        SELECT doc_id,
+               sum(present_micro - absent_micro)::BIGINT AS tok_micro
+        FROM tokl JOIN lo USING (word) GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT l.keep AS rule_keep,
+               coalesce(d.tok_micro, 0) + k.const_micro AS score_micro
+        FROM labeled l
+        LEFT JOIN docsum d USING (doc_id)
+        CROSS JOIN konst k
+    )
+    SELECT rule_keep, (score_micro > 0) AS nb_keep,
+           count(*)::BIGINT AS n_docs,
+           sum(score_micro)::BIGINT AS sum_score_micro
+    FROM scored GROUP BY rule_keep, nb_keep
+    """,
+)
+def nb_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-rules / score-with-model confusion matrix, all in-plan.
+
+    The rule verdict (teacher) and the Naive-Bayes posterior (student)
+    per document, aggregated to the 2×2 confusion with the exact
+    integer score mass per cell. Train and score share ONE distinct
+    (doc, word) materialization; the vocab-sized log-odds table is
+    broadcast, so scoring adds no corpus-wide shuffle beyond the final
+    groupBy(doc). Reference analogue: keep/drop chain at
+    text_process_v5.py:164-169 is the teacher; the distillation layer
+    is this engine's own (CCNet §3 / DSIR — public techniques)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = q.score_documents(docs, "text", _QCFG).select(
+        "doc_id", "text", "keep"
+    )
+    tok = clf.doc_tokens(labeled)
+    lo = clf.train_log_odds(tok, labeled)
+    scored = clf.score_documents_nb(labeled, tok, lo)
+    return scored.groupBy("rule_keep", "nb_keep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("score_micro").cast("bigint").alias("sum_score_micro"),
     )
 
 
