@@ -69,6 +69,11 @@ HEADLINE = [
     "revenue_share_suppliers",
     "winnow_fingerprints",
     "source_quality_filter",
+    "nb_quality_confusion",
+    "customer_order_distribution",
+    "large_volume_orders",
+    "dormant_high_balance",
+    "sequence_packing",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

@@ -181,3 +181,34 @@ def test_simhash_near_dup_stays_native(spark):
     p = plan_str(Q.queries()["simhash_near_dup"](spark, SF_ORACLE))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_sequence_packing_single_exchange(spark):
+    """The packing window partitions on (lang, shard) and the pack
+    aggregation keys are a superset, so Catalyst must reuse the same
+    distribution: exactly ONE Exchange, no global sort (only the
+    intra-partition window sort)."""
+    p = plan_str(Q.queries()["sequence_packing"](spark, SF_ORACLE))
+    assert p.count("Exchange") == 1, p
+    assert "rangepartitioning" not in p.lower()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_large_volume_orders_no_forced_hints(spark):
+    """Q18 shape: the HAVING semi-join must be planned by AQE, not
+    forced — no hint survives to the logical plan — and everything
+    hashes on the orderkey family (no cartesian)."""
+    df = Q.queries()["large_volume_orders"](spark, SF_ORACLE)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "hints=[" not in logical
+    p = plan_str(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_dormant_high_balance_scalar_broadcast(spark):
+    """Q22 shape: the 1-row (cnt, tot) scalar must broadcast (nested
+    loop over a single row is fine); the anti-join must not be a
+    cartesian over the full orders side."""
+    p = plan_str(Q.queries()["dormant_high_balance"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row scalar cross join
+    assert "CartesianProduct" not in p

@@ -74,10 +74,19 @@ _WINDOW_FRONT = [
     "winnow_fingerprints",
     "source_quality_filter",
     "nb_quality_confusion",
+    "customer_order_distribution",
+    "large_volume_orders",
+    "dormant_high_balance",
+    "sequence_packing",
 ]
 _WINDOW_BACK = [
     # rows-only approximations: driver check is rows-only regardless
-    "char_bigram_ppl",  # stable (r1+r2 green); rotated out for nb_quality_confusion
+    # (plus stable r1+r2-green queries rotated out for round-3 entries)
+    "char_bigram_ppl",
+    "rollup_revenue",
+    "langid_marker_confusion",
+    "shipping_priority",
+    "late_shipment_priorities",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_recall_vs_bruteforce",
@@ -3130,5 +3139,221 @@ def span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 6,
             ).alias("contamination"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 58. Q13-shape: order-count distribution (left-outer join + double agg)
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_distribution",
+    """
+    WITH c_orders AS (
+        SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_orders
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT n_orders, count(*)::BIGINT AS custdist
+    FROM c_orders
+    GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k non-urgent orders,
+    including k=0 — the left-outer-join-then-aggregate-twice pattern
+    (count over a preserved null side, then a distribution over the
+    counts). The priority predicate is pushed below the join on the
+    orders side (equivalent to the ON-clause form because the join is
+    left-outer on the customer side); first shuffle on custkey, second
+    on the small n_orders domain."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+    return per.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 59. Q18-shape: large-volume orders (HAVING-derived semi-join)
+# ---------------------------------------------------------------------------
+@register(
+    "large_volume_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 300
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           sum(l.l_quantity)::BIGINT AS total_qty
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, with the order details re-joined. The HAVING aggregate
+    becomes a left-semi join; the pre-agg, the semi-join and the final
+    agg all hash on l_orderkey/o_orderkey so the exchange layout is
+    reused end to end (same discipline as sole_late_supplier).
+    l_quantity values are integral, so sum > 300 and the BIGINT output
+    are exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 60. Q22-shape: dormant high-balance customers (exact-decimal scalar
+#     threshold + anti-join)
+# ---------------------------------------------------------------------------
+@register(
+    "dormant_high_balance",
+    """
+    WITH pos AS (
+        SELECT count(*)::BIGINT AS cnt,
+               sum(CAST(c_acctbal AS DECIMAL(18,6))) AS tot
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment AS segment,
+           count(*)::BIGINT AS numcust,
+           (sum(CAST(c.c_acctbal AS DECIMAL(18,6))))::DOUBLE AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * pos.cnt > pos.tot
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no urgent orders, aggregated per market segment. The average
+    threshold is compared in EXACT integer/decimal arithmetic
+    (bal·cnt > total — never bal > total/cnt, whose quotient would
+    round engine-dependently); the money sum follows the repo DECIMAL→
+    DOUBLE rule. One broadcast of the 1-row scalar, one anti-join
+    against the filtered orders side, one segment-keyed shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("tot"),
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,6)") * F.col("cnt")
+            > F.col("tot")
+        )
+        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 61. Sequence packing (concat-and-chunk) — training-batch assembly
+# ---------------------------------------------------------------------------
+_PACK_TOKENS = 512  # context-window size in tokens
+_PACK_SHARD_DOCS = 256  # docs per packing shard (keyspace partition)
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH toked AS (
+        SELECT lang, doc_id, doc_id // {_PACK_SHARD_DOCS} AS shard,
+               {T.n_words_sql('text')} AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, shard, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM toked
+    )
+    SELECT lang, shard::BIGINT AS shard,
+           ((cum_tok - 1) // {_PACK_TOKENS})::BIGINT AS pack_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens,
+           max(cum_tok)::BIGINT AS end_tok
+    FROM cum
+    WHERE n_tok > 0
+    GROUP BY lang, shard, pack_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-pipeline batch
+    assembly step (concatenate documents in a deterministic order,
+    slice into fixed context windows; a document belongs to the window
+    holding its END token). Packing runs per (lang, shard) where shard
+    is a doc_id range, so at 100 TB every shard packs independently —
+    the running sum is a bounded-partition window, never a global
+    sort. Output: per-pack doc/token tallies. All integer arithmetic;
+    `div` keeps the pack id exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.expr(f"doc_id div {_PACK_SHARD_DOCS}").alias("shard"),
+        T.n_words("text").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        cum.filter(F.col("n_tok") > 0)
+        .groupBy(
+            "lang",
+            F.col("shard").cast("bigint").alias("shard"),
+            F.expr(f"(cum_tok - 1) div {_PACK_TOKENS}")
+            .cast("bigint")
+            .alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.max("cum_tok").cast("bigint").alias("end_tok"),
         )
     )
