@@ -74,6 +74,9 @@ HEADLINE = [
     "large_volume_orders",
     "dormant_high_balance",
     "sequence_packing",
+    "nb_holdout_confusion",
+    "stratified_sample",
+    "training_mix_report",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

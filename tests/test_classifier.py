@@ -49,3 +49,21 @@ def test_every_document_scored_exactly_once(spark):
     assert scored.count() == 500
     assert scored.select("doc_id").distinct().count() == 500
     assert scored.filter(F.col("score_micro").isNull()).count() == 0
+
+
+def test_holdout_generalization(spark):
+    """Trained on the deterministic 10% split, the classifier must
+    still beat the trivial always-keep baseline on the 90% holdout:
+    ≥80% agreement and a non-empty predicted-drop class."""
+    from textcleaning_spark.queries import queries
+
+    agg = (
+        queries()["nb_holdout_confusion"](spark, SF_ORACLE)
+        .collect()
+    )
+    cells = {(r.rule_keep, r.nb_keep): r.n_docs for r in agg}
+    total = sum(cells.values())
+    agree = cells.get((True, True), 0) + cells.get((False, False), 0)
+    assert 400 <= total < 500  # the holdout, not the full corpus
+    assert agree / total >= 0.80
+    assert cells.get((False, False), 0) > 0

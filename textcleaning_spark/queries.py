@@ -78,6 +78,9 @@ _WINDOW_FRONT = [
     "large_volume_orders",
     "dormant_high_balance",
     "sequence_packing",
+    "nb_holdout_confusion",
+    "stratified_sample",
+    "training_mix_report",
 ]
 _WINDOW_BACK = [
     # rows-only approximations: driver check is rows-only regardless
@@ -87,6 +90,9 @@ _WINDOW_BACK = [
     "langid_marker_confusion",
     "shipping_priority",
     "late_shipment_priorities",
+    "shingle_near_dup",
+    "doc_fingerprints",
+    "embedding_near_dup",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_recall_vs_bruteforce",
@@ -492,9 +498,11 @@ def source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     and scoring is a broadcast join + integer sum. Deterministic via
 #     fixed-point micro-unit log-odds (see operators/classifier.py).
 # ---------------------------------------------------------------------------
-@register(
-    "nb_quality_confusion",
-    f"""
+def _nb_confusion_sql(train_pred: str, score_pred: str) -> str:
+    """DuckDB twin of the Bernoulli-NB train/score chain, parameterized
+    by which documents train the model and which get scored (both
+    predicates over ``doc_id``; ``TRUE`` = the whole corpus)."""
+    return f"""
     WITH labeled AS (
         SELECT doc_id, {T.keep_expr_sql('text')} AS keep FROM documents
     ),
@@ -507,13 +515,13 @@ def source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals AS (
         SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS nkeep,
                sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS ndrop
-        FROM labeled
+        FROM labeled WHERE {train_pred}
     ),
     counts AS (
         SELECT word,
                sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS nk,
                sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS nd
-        FROM tokl GROUP BY word
+        FROM tokl WHERE {train_pred} GROUP BY word
     ),
     lo AS (
         SELECT word,
@@ -536,7 +544,8 @@ def source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docsum AS (
         SELECT doc_id,
                sum(present_micro - absent_micro)::BIGINT AS tok_micro
-        FROM tokl JOIN lo USING (word) GROUP BY doc_id
+        FROM tokl JOIN lo USING (word)
+        WHERE {score_pred} GROUP BY doc_id
     ),
     scored AS (
         SELECT l.keep AS rule_keep,
@@ -544,13 +553,16 @@ def source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM labeled l
         LEFT JOIN docsum d USING (doc_id)
         CROSS JOIN konst k
+        WHERE {score_pred}
     )
     SELECT rule_keep, (score_micro > 0) AS nb_keep,
            count(*)::BIGINT AS n_docs,
            sum(score_micro)::BIGINT AS sum_score_micro
     FROM scored GROUP BY rule_keep, nb_keep
-    """,
-)
+    """
+
+
+@register("nb_quality_confusion", _nb_confusion_sql("TRUE", "TRUE"))
 def nb_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-on-rules / score-with-model confusion matrix, all in-plan.
 
@@ -572,6 +584,165 @@ def nb_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("rule_keep", "nb_keep").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("score_micro").cast("bigint").alias("sum_score_micro"),
+    )
+
+
+_NB_SALT = "nb"
+_NB_TRAIN_HEX_CUT = "19999999"  # md5 prefix < this ≈ 10% training split
+_NB_TRAIN_PRED = (
+    f"substr(md5(doc_id::VARCHAR || ':{_NB_SALT}'), 1, 8) < '{_NB_TRAIN_HEX_CUT}'"
+)
+
+
+def _nb_member():
+    """Spark twin of the md5-prefix training-split membership."""
+    return (
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_NB_SALT}"))),
+            1,
+            8,
+        )
+        < _NB_TRAIN_HEX_CUT
+    )
+
+
+@register(
+    "nb_holdout_confusion",
+    _nb_confusion_sql(_NB_TRAIN_PRED, f"NOT ({_NB_TRAIN_PRED})"),
+)
+def nb_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization test of the distilled classifier: train the
+    Bernoulli-NB log-odds ONLY on the deterministic ~10% md5-hash
+    split, score ONLY the 90% holdout, and report the teacher/student
+    confusion there — the honest version of nb_quality_confusion
+    (which scores its own training set). Holdout tokens absent from
+    the training vocabulary contribute nothing (documented inner-join
+    semantics). Membership is md5-prefix hashing, so the split is
+    identical across engines, runs and partitionings."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = q.score_documents(docs, "text", _QCFG).select(
+        "doc_id", "text", "keep"
+    )
+    member = _nb_member()
+    train = labeled.filter(member)
+    holdout = labeled.filter(~member)
+    lo = clf.train_log_odds(clf.doc_tokens(train), train)
+    scored = clf.score_documents_nb(holdout, clf.doc_tokens(holdout), lo)
+    return scored.groupBy("rule_keep", "nb_keep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("score_micro").cast("bigint").alias("sum_score_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8d. Stratified sampling — per-language rate map (data-mix rebalance)
+# ---------------------------------------------------------------------------
+_STRAT_SALT = "s2"
+# en is over-represented in web corpora: downsample to 5%; the rest 20%.
+_STRAT_CUTS = {"en": "0ccccccc"}
+_STRAT_DEFAULT_CUT = "33333333"
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN substr(md5(doc_id::VARCHAR || ':{_STRAT_SALT}'), 1, 8)
+                         < CASE WHEN lang = 'en' THEN '{_STRAT_CUTS["en"]}'
+                                ELSE '{_STRAT_DEFAULT_CUT}' END
+                    THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+           sum(CASE WHEN substr(md5(doc_id::VARCHAR || ':{_STRAT_SALT}'), 1, 8)
+                         < CASE WHEN lang = 'en' THEN '{_STRAT_CUTS["en"]}'
+                                ELSE '{_STRAT_DEFAULT_CUT}' END
+                    THEN n_chars ELSE 0 END)::BIGINT AS sampled_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling with a per-language rate map
+    (downsample the over-represented language, keep the rest at a
+    higher rate) — the data-mix rebalancing step of C4/ROOTS-style
+    corpus assembly. Membership is md5-prefix hashing against a
+    per-lang cutoff, so rates change by editing the map, membership
+    stays reproducible, and the whole thing is one scan + one
+    lang-keyed shuffle (no per-stratum passes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = F.when(F.col("lang") == "en", F.lit(_STRAT_CUTS["en"])).otherwise(
+        F.lit(_STRAT_DEFAULT_CUT)
+    )
+    member = (
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(f":{_STRAT_SALT}"))
+            ),
+            1,
+            8,
+        )
+        < cut
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(member, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(member, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8e. Training-mix report — kept-token budget per (lang, length tier)
+# ---------------------------------------------------------------------------
+@register(
+    "training_mix_report",
+    f"""
+    WITH kept AS (
+        SELECT lang,
+               CASE WHEN {T.n_words_sql('text')} < 50 THEN 'short'
+                    WHEN {T.n_words_sql('text')} < 200 THEN 'medium'
+                    ELSE 'long' END AS tier,
+               {T.n_words_sql('text')} AS n_tok
+        FROM documents
+        WHERE {T.keep_expr_sql('text')}
+    )
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(tier, 'ALL') AS tier,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens
+    FROM kept
+    GROUP BY ROLLUP(lang, tier)
+    """,
+)
+def training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deliverable a training team actually consumes: token budget
+    of the KEPT corpus per (language, length tier) with ROLLUP
+    subtotals — the data-mix table that feeds sampling weights. One
+    scoring scan (shared score_documents shape), one ROLLUP shuffle.
+    Tier thresholds mirror the SQL constants; the keep gate runs on
+    unrounded signals (CLAUDE.md invariant)."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    scored = q.score_documents(docs, "text", _QCFG)
+    kept = scored.filter(F.col("keep")).select(
+        "lang",
+        F.when(F.col("n_words") < 50, "short")
+        .when(F.col("n_words") < 200, "medium")
+        .otherwise("long")
+        .alias("tier"),
+        F.col("n_words").alias("n_tok"),
+    )
+    return (
+        kept.rollup("lang", "tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("tier"), F.lit("ALL")).alias("tier"),
+            "n_docs",
+            "n_tokens",
+        )
     )
 
 
