@@ -575,8 +575,15 @@ def nb_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_process_v5.py:164-169 is the teacher; the distillation layer
     is this engine's own (CCNet §3 / DSIR — public techniques)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    labeled = q.score_documents(docs, "text", _QCFG).select(
-        "doc_id", "text", "keep"
+    # labeled feeds four subtrees (train counts, train totals, score
+    # tokens, score docs); checkpoint it once instead of re-running the
+    # quality chain per subtree (measured 36% at sf0.1). In production
+    # the labeled frame IS the pipeline's persisted output — the
+    # checkpoint stands in for reading that table back.
+    labeled = (
+        q.score_documents(docs, "text", _QCFG)
+        .select("doc_id", "text", "keep")
+        .localCheckpoint(eager=False)
     )
     tok = clf.doc_tokens(labeled)
     lo = clf.train_log_odds(tok, labeled)
@@ -620,8 +627,10 @@ def nb_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics). Membership is md5-prefix hashing, so the split is
     identical across engines, runs and partitionings."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    labeled = q.score_documents(docs, "text", _QCFG).select(
-        "doc_id", "text", "keep"
+    labeled = (
+        q.score_documents(docs, "text", _QCFG)
+        .select("doc_id", "text", "keep")
+        .localCheckpoint(eager=False)
     )
     member = _nb_member()
     train = labeled.filter(member)
