@@ -77,6 +77,8 @@ HEADLINE = [
     "nb_holdout_confusion",
     "stratified_sample",
     "training_mix_report",
+    "dedup_keep_verdict",
+    "lang_sampling_weights",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

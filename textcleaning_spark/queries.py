@@ -81,6 +81,8 @@ _WINDOW_FRONT = [
     "nb_holdout_confusion",
     "stratified_sample",
     "training_mix_report",
+    "dedup_keep_verdict",
+    "lang_sampling_weights",
 ]
 _WINDOW_BACK = [
     # rows-only approximations: driver check is rows-only regardless
@@ -3536,4 +3538,108 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
             F.max("cum_tok").cast("bigint").alias("end_tok"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 62. Dedup keep verdict — the per-document output a dedup pipeline ships
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_keep_verdict",
+    f"""
+    WITH RECURSIVE {_SHINGLE_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comps AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id::BIGINT AS doc_id,
+           coalesce(c.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+           (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+    FROM documents d
+    LEFT JOIN comps c ON c.node = d.doc_id
+    """,
+)
+def dedup_keep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup verdict — the row-level output a dedup stage
+    actually emits downstream (near_dup_clusters reports the same
+    components as per-cluster summaries). Every document maps to its
+    cluster's canonical keeper (min doc_id; singletons are their own
+    cluster) and keeps iff it IS the keeper. At 100 TB the components
+    frame is tiny relative to the corpus (only docs that appear in a
+    near-dup pair), so the back-join broadcasts; the corpus itself is
+    never re-shuffled."""
+    from textcleaning_spark.operators.dedup import connected_components
+
+    pairs = shingle_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    joined = docs.join(comps, docs.doc_id == comps.node, "left")
+    cluster = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return joined.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        cluster.cast("bigint").alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 63. Temperature-weighted language sampling (XLM-R / mT5 data mix)
+# ---------------------------------------------------------------------------
+_SAMPLING_ALPHA = 0.3  # temperature exponent (Conneau et al. 2020 use 0.3)
+
+
+@register(
+    "lang_sampling_weights",
+    f"""
+    WITH counts AS (
+        SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT sum(n_docs)::DOUBLE AS total,
+               sum(pow(n_docs::DOUBLE, {_SAMPLING_ALPHA})) AS z
+        FROM counts
+    )
+    SELECT lang,
+           n_docs,
+           round(n_docs::DOUBLE / total, 6) AS p_raw,
+           round(pow(n_docs::DOUBLE, {_SAMPLING_ALPHA}) / z, 6) AS p_sampled,
+           round((pow(n_docs::DOUBLE, {_SAMPLING_ALPHA}) / z)
+                 / (n_docs::DOUBLE / total), 6) AS upsample_factor
+    FROM counts CROSS JOIN tot
+    """,
+)
+def lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted multinomial language sampling — the
+    data-mix rebalancing multilingual training pipelines apply
+    (q_l = p_l^alpha / sum p^alpha; alpha=0.3 per XLM-R, Conneau et
+    al. 2020, and mT5). total^alpha cancels in the normalization, so
+    both engines raise the raw BIGINT counts. upsample_factor is the
+    effective-epoch multiplier for each language. One tiny groupBy on
+    lang plus a 1-row scalar broadcast — nothing corpus-sized moves.
+    Floats come from pow(), so every float column is round()ed to 6 on
+    both sides (CLAUDE.md float rule)."""
+    docs = load_table(spark, sf_dir, "documents").select("lang")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    n_dbl = F.col("n_docs").cast("double")
+    tot = counts.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.sum(F.pow(n_dbl, F.lit(_SAMPLING_ALPHA))).alias("z"),
+    )
+    p_raw = n_dbl / F.col("total")
+    p_sampled = F.pow(n_dbl, F.lit(_SAMPLING_ALPHA)) / F.col("z")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_sampled, 6).alias("p_sampled"),
+        F.round(p_sampled / p_raw, 6).alias("upsample_factor"),
     )
