@@ -79,6 +79,8 @@ HEADLINE = [
     "training_mix_report",
     "dedup_keep_verdict",
     "lang_sampling_weights",
+    "url_canonical_dedup",
+    "token_count_histogram",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

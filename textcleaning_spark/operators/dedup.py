@@ -545,3 +545,32 @@ def connected_components(
             "raise max_iter (diameter of the near-dup graph exceeds it)"
         )
     return labels
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts") -> DataFrame:
+    """URL-level dedup over a pages frame: one row per *canonical* url,
+    keeping the LATEST crawl (max ``ts_col``, deterministic tie-break on
+    the raw url string). This is the first dedup stage of a
+    Common-Crawl-style pipeline — the same page recrawled under scheme/
+    www/tracking-param/fragment surface variants collapses before any
+    content hashing runs (functions/urls.py documents the rules; the
+    north-star contract keys byte-identical text per url).
+
+    Scale: the canonical form is computed scan-side (native regexps),
+    and the one shuffle keys on the canonical string. Crawl snapshots
+    are heavily url-skewed only at hot hosts, not hot full urls, so no
+    salting is needed; row_number-per-key does a partial top-1 per
+    map-side partition under AQE before the exchange.
+    """
+    from textcleaning_spark.functions.urls import canonical_url
+
+    w = (
+        Window.partitionBy("canonical_url")
+        .orderBy(F.col(ts_col).desc(), F.col(url_col).asc())
+    )
+    return (
+        df.withColumn("canonical_url", canonical_url(url_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from textcleaning_spark.config import CorpusStatsConfig, QualityConfig, stop_pos
 from textcleaning_spark.functions import text as T
 from textcleaning_spark.functions import tagger
+from textcleaning_spark.functions import urls as _urls
 from textcleaning_spark.operators import classifier as clf
 from textcleaning_spark.operators import cooccurrence as co
 from textcleaning_spark.operators import corpus_stats as cs
@@ -83,6 +84,8 @@ _WINDOW_FRONT = [
     "training_mix_report",
     "dedup_keep_verdict",
     "lang_sampling_weights",
+    "url_canonical_dedup",
+    "token_count_histogram",
 ]
 _WINDOW_BACK = [
     # rows-only approximations: driver check is rows-only regardless
@@ -3642,4 +3645,150 @@ def lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_raw, 6).alias("p_raw"),
         F.round(p_sampled, 6).alias("p_sampled"),
         F.round(p_sampled / p_raw, 6).alias("upsample_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 64. URL canonicalization dedup (Common-Crawl recrawl collapse)
+# ---------------------------------------------------------------------------
+# Raw-url synthesis: the driver's documents table has no url column, so
+# both engines derive the SAME deterministic surface variants from
+# (doc_id, source, lang) — scheme/www/case/tracking-param/trailing-slash/
+# fragment noise around a shared path key (doc_id % 50). The operator
+# under test is functions/urls.py canonical_url (differential-tested in
+# tests/test_urls.py; the keep-latest operator twin is
+# operators/dedup.url_dedup over real pages frames).
+_RAW_URL_SQL = """
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END
+    || CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END
+    || '.Example.COM/articles/' || (doc_id % 50)::VARCHAR
+    || CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&ref=' || lang
+            WHEN doc_id % 3 = 1 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN '#sec-' || doc_id::VARCHAR ELSE '' END
+"""
+
+
+def _raw_url_col():
+    from pyspark.sql import functions as F
+
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+        F.lit("http://")
+    )
+    host = F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("source"))).otherwise(
+        F.col("source")
+    )
+    path = F.concat(
+        F.lit(".Example.COM/articles/"), (F.col("doc_id") % 50).cast("string")
+    )
+    suffix = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("/?utm_source=feed&ref="), F.col("lang")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("#sec-"), F.col("doc_id").cast("string")),
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, host, path, suffix, frag)
+
+
+@register(
+    "url_canonical_dedup",
+    f"""
+    WITH raw AS (
+        SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, raw_url,
+               {_urls.canonical_url_sql('raw_url')} AS canonical_url
+        FROM raw
+    )
+    SELECT canonical_url,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT raw_url)::BIGINT AS n_raw_forms,
+           min(doc_id)::BIGINT AS keeper_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup summary: recrawl surface variants (scheme, www,
+    host case, utm/fbclid/gclid params, fragments, trailing slashes)
+    collapse onto one canonical url; the keeper is the min doc_id (the
+    pages-frame twin, operators/dedup.url_dedup, keeps max warc_ts).
+    At 100 TB canonicalization runs scan-side (native regexp chain, no
+    Python) and the single shuffle keys on the canonical string — url
+    dedup happens BEFORE any content hash or shingle is computed, so
+    the expensive text operators see each page once."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    canon = docs.select(
+        "doc_id",
+        _raw_url_col().alias("raw_url"),
+    ).withColumn("canonical_url", _urls.canonical_url("raw_url"))
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("raw_url").cast("bigint").alias("n_raw_forms"),
+        F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 65. Token-count histogram (training-budget planning)
+# ---------------------------------------------------------------------------
+@register(
+    "token_count_histogram",
+    f"""
+    WITH t AS (
+        SELECT {T.n_words_sql('text')} AS n FROM documents
+    ),
+    b AS (
+        SELECT (length(bin(n)) - 1)::INT AS bucket,
+               count(*)::BIGINT AS n_docs,
+               sum(n)::BIGINT AS n_tokens
+        FROM t WHERE n >= 1 GROUP BY 1
+    )
+    SELECT bucket::BIGINT AS bucket,
+           (1::BIGINT << bucket)::BIGINT AS bucket_min_tokens,
+           n_docs,
+           n_tokens,
+           sum(n_tokens) OVER (ORDER BY bucket)::BIGINT AS cum_tokens,
+           round(sum(n_tokens) OVER (ORDER BY bucket)::DOUBLE
+                 / (sum(n_tokens) OVER ())::DOUBLE, 6) AS cum_token_frac
+    FROM b
+    """,
+)
+def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-count histogram with cumulative token mass —
+    the report a training pipeline reads to size sequence packing and
+    length-bucketed partitions (operators/skew.py uses the same bucket
+    key). floor(log2 n) is computed EXACTLY in both engines as
+    length(bin(n))-1 (integer bit-length; float log2 at bucket
+    boundaries is not portable). One explode-free scan + a tiny
+    per-bucket agg; the cumulative window runs over ≤64 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(T.n_words("text").alias("n")).filter(F.col("n") >= 1)
+    b = (
+        t.select((F.length(F.bin("n")) - 1).cast("int").alias("bucket"), "n")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w_cum = Window.orderBy("bucket")
+    w_all = Window.partitionBy()
+    cum = F.sum("n_tokens").over(w_cum)
+    tot = F.sum("n_tokens").over(w_all)
+    return b.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket) AS BIGINT)").alias(
+            "bucket_min_tokens"
+        ),
+        "n_docs",
+        "n_tokens",
+        cum.cast("bigint").alias("cum_tokens"),
+        F.round(cum.cast("double") / tot.cast("double"), 6).alias("cum_token_frac"),
     )
