@@ -81,6 +81,12 @@ HEADLINE = [
     "lang_sampling_weights",
     "url_canonical_dedup",
     "token_count_histogram",
+    "top_supplier_revenue",
+    "promo_brand_revenue",
+    "returned_item_customers",
+    "discount_revenue_forecast",
+    "ppl_tertile_routing",
+    "benchmark_decontam",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

@@ -212,3 +212,57 @@ def test_dormant_high_balance_scalar_broadcast(spark):
     p = plan_str(Q.queries()["dormant_high_balance"](spark, SF_ORACLE))
     assert "BroadcastNestedLoopJoin" in p  # the 1-row scalar cross join
     assert "CartesianProduct" not in p
+
+
+def plan_formatted(df) -> str:
+    """explain('formatted') text — PushedFilters lists are printed in
+    full there, while executedPlan().toString() truncates long ones."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q6_all_predicates_pushed_single_exchange(spark):
+    """Q6 shape: every range predicate reaches the parquet reader and
+    the plan is scan → partial agg → ONE exchange → final agg."""
+    df = Q.queries()["discount_revenue_forecast"](spark, SF_ORACLE)
+    scan = [l for l in plan_formatted(df).splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(l_shipdate" in scan
+    assert "LessThan(l_shipdate" in scan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in scan
+    assert "LessThanOrEqual(l_discount,0.07)" in scan
+    assert "LessThan(l_quantity,24.0)" in scan
+    assert plan_str(df).count("Exchange") == 1
+
+
+def test_q19_pushdown_reaches_both_scans(spark):
+    """Q19 shape: the explicit per-side implications of the
+    cross-table OR must be pushed into BOTH parquet scans."""
+    p = plan_str(Q.queries()["promo_brand_revenue"](spark, SF_ORACLE))
+    scans = [l for l in p.splitlines() if "PushedFilters" in l]
+    part_scan = [l for l in scans if "p_brand" in l][0]
+    li_scan = [l for l in scans if "l_quantity" in l][0]
+    assert "In(p_brand" in part_scan
+    assert "GreaterThanOrEqual(p_size,1)" in part_scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in li_scan
+    assert "LessThanOrEqual(l_quantity,30.0)" in li_scan
+
+
+def test_q15_single_fact_scan(spark):
+    """Q15 shape: revenue and its global max come from ONE lineitem
+    scan (grouped relation + global-frame window), not a
+    scalar-subquery second scan; the shipdate range is pushed."""
+    p = plan_str(Q.queries()["top_supplier_revenue"](spark, SF_ORACLE))
+    li_scans = [
+        l for l in p.splitlines() if "FileScan parquet" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1, p
+    assert "GreaterThanOrEqual(l_shipdate" in li_scans[0]
+
+
+def test_q10_topk_no_global_sort(spark):
+    """Q10 shape: the exact-decimal top-20 compiles to
+    TakeOrderedAndProject; nation is the only broadcast forced."""
+    p = plan_str(Q.queries()["returned_item_customers"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p

@@ -86,6 +86,12 @@ _WINDOW_FRONT = [
     "lang_sampling_weights",
     "url_canonical_dedup",
     "token_count_histogram",
+    "top_supplier_revenue",
+    "promo_brand_revenue",
+    "returned_item_customers",
+    "discount_revenue_forecast",
+    "ppl_tertile_routing",
+    "benchmark_decontam",
 ]
 _WINDOW_BACK = [
     # rows-only approximations: driver check is rows-only regardless
@@ -2478,9 +2484,9 @@ _QUERIES["embedding_near_dup_fast"] = embedding_near_dup_fast
 # smoothed scoring in ONE lazy plan, no Python anywhere, so the whole
 # thing is oracle-checkable. The trained model is |charset|²-bounded,
 # so the scoring joins broadcast at any corpus scale.
-@register(
-    "char_bigram_ppl",
-    """
+# Shared by char_bigram_ppl and ppl_tertile_routing (one spec, two
+# consumers — same dual-spec discipline as the rule table).
+_PPL_CORE_SQL = """
     WITH bigrams AS (
         SELECT doc_id,
                unnest(list_transform(range(1, length(text)),
@@ -2507,8 +2513,10 @@ _QUERIES["embedding_near_dup_fast"] = embedding_near_dup_fast
     JOIN prefix p ON substring(b.bg, 1, 1) = p.p
     CROSS JOIN vocab v
     GROUP BY b.doc_id
-    """,
-)
+"""
+
+
+@register("char_bigram_ppl", _PPL_CORE_SQL)
 def char_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star perplexity signal (train + score in one plan).
     Reference analogue: corpus-statistics-driven word scoring
@@ -3257,6 +3265,23 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_W = 8
 
 
+def _doc_word_spans(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, span) rows of sliding word w-grams — shared by
+    span_contamination and benchmark_decontam. The guard keeps
+    sequence(1, n) from emitting descending indices when n < 1
+    (its step defaults to -1; ADVICE r01)."""
+    toked = docs.select("doc_id", T.tokens("text").alias("__toks"))
+    toks = F.col("__toks")
+    spans = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.select("doc_id", F.explode(spans).alias("span"))
+
+
 @register(
     "span_contamination",
     f"""
@@ -3296,17 +3321,7 @@ def span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     key would be xxhash64(span) — 8-byte shuffle keys — with the same
     plan; the oracle pins the string form for exact parity here."""
     docs = load_table(spark, sf_dir, "documents")
-    w = _SPAN_W
-    toked = docs.select("doc_id", T.tokens("text").alias("__toks"))
-    toks = F.col("__toks")
-    spans = F.when(
-        F.size(toks) >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(w))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sp = toked.select("doc_id", F.explode(spans).alias("span"))
+    sp = _doc_word_spans(docs, _SPAN_W)
     shared = (
         sp.groupBy("span")
         .agg(F.count_distinct("doc_id").alias("__nd"))
@@ -3791,4 +3806,391 @@ def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         cum.cast("bigint").alias("cum_tokens"),
         F.round(cum.cast("double") / tot.cast("double"), 6).alias("cum_token_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 66. Top-supplier revenue (TPC-H Q15 shape): grouped revenue vs its own
+#     global max — the "create view + scalar subquery" pattern.
+# ---------------------------------------------------------------------------
+_Q15_START = "1996-01-01"
+_Q15_END = "1996-04-01"
+
+
+@register(
+    "top_supplier_revenue",
+    f"""
+    WITH srev AS (
+        SELECT l_suppkey,
+               sum((l_extendedprice::DECIMAL(12,2))
+                   * (1 - l_discount::DECIMAL(12,2))) AS rev_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q15_START}'
+          AND l_shipdate <  TIMESTAMP '{_Q15_END}'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, rev_dec::DOUBLE AS total_revenue
+    FROM srev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_dec = (SELECT max(rev_dec) FROM srev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: quarterly per-supplier revenue compared against the
+    global maximum of the SAME grouped relation. The oracle keeps the
+    textbook view+scalar-subquery form; the Spark side computes the max
+    as a global-frame window over the grouped rows so lineitem is
+    scanned and shuffled exactly once (scan with pushed shipdate range
+    → partial agg → one exchange on l_suppkey → window → filter); the
+    subquery-twice form would scan the fact twice. The window's single
+    partition holds one row per supplier (bounded, ~10k/SF). The
+    max-equality comparison happens in exact DECIMAL space — no float
+    boundary, ties surface as multiple rows identically in both
+    engines. Supplier join is left to AQE (linear-growth table)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    srev = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_dec"))
+    mx = F.max("rev_dec").over(Window.partitionBy())
+    return (
+        srev.withColumn("mx", mx)
+        .filter(F.col("rev_dec") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 67. Brand-promo revenue (TPC-H Q19 shape): OR-of-conjunctions across
+#     a join — the disjunctive-pushdown stress case.
+# ---------------------------------------------------------------------------
+@register(
+    "promo_brand_revenue",
+    """
+    SELECT p_brand,
+           count(*)::BIGINT AS n_items,
+           (sum((l_extendedprice::DECIMAL(12,2))
+                * (1 - l_discount::DECIMAL(12,2))))::DOUBLE AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand
+    """,
+)
+def promo_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: a disjunction whose conjuncts mix columns from BOTH
+    join sides, so the OR as a whole cannot cross the join. The
+    per-side implications — part gets `p_brand IN (...) AND p_size
+    BETWEEN 1 AND 15`, lineitem gets `l_quantity BETWEEN 1 AND 30` —
+    reach the parquet scans, so at 100 TB the join sees only
+    promo-band rows, not the full fact (tests/test_plans.py gates the
+    pushed filters on both scans). The
+    residual OR evaluates post-join in codegen. Part is a linear-growth
+    table: join strategy left to AQE.
+
+    The per-side implications are ALSO written explicitly (brand
+    IN-list + size cap on part, quantity band on lineitem): they are
+    redundant with the OR, but guarantee scan-level pushdown without
+    depending on the optimizer's CNF-conversion depth budget
+    (SPARK-31705 caps how many disjuncts it will factor)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .filter(F.col("l_quantity").between(1, 30))
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#5")
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#5")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 68. Returned-item customers (TPC-H Q10 shape): 4-way join + exact-
+#     decimal-ordered top-k.
+# ---------------------------------------------------------------------------
+_Q10_START = "1996-01-01"
+_Q10_END = "1996-07-01"
+
+
+@register(
+    "returned_item_customers",
+    f"""
+    WITH crev AS (
+        SELECT c_custkey, c_name, n_name,
+               sum((l_extendedprice::DECIMAL(12,2))
+                   * (1 - l_discount::DECIMAL(12,2))) AS rev_dec
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '{_Q10_START}'
+          AND o_orderdate <  TIMESTAMP '{_Q10_END}'
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey::BIGINT AS c_custkey, c_name, n_name,
+           rev_dec::DOUBLE AS revenue
+    FROM crev
+    ORDER BY rev_dec DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: customers who returned the most revenue in a half-
+    year window — the "who to call" report. Pushed predicates on both
+    fact scans (returnflag on lineitem, date range on orders); nation
+    (bounded, 25 rows) is the only forced broadcast; customer/orders
+    join strategy is left to AQE. The top-20 orders by the EXACT
+    decimal revenue (tie-break c_custkey) and compiles to
+    TakeOrderedAndProject — no global sort materialization; the double
+    cast happens after selection."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_START).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q10_END).cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 69. Discount-revenue forecast (TPC-H Q6 shape): the pure-pushdown
+#     aggregate — every predicate reaches the parquet scan.
+# ---------------------------------------------------------------------------
+@register(
+    "discount_revenue_forecast",
+    """
+    SELECT count(*)::BIGINT AS n_items,
+           (sum((l_extendedprice::DECIMAL(12,2))
+                * (l_discount::DECIMAL(12,2))))::DOUBLE AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: "how much revenue would vanish if these discounts were
+    dropped" — a scan-only aggregate with zero joins. Its entire value
+    is the plan: all four range predicates sit on base columns, so they
+    push into the parquet reader (PushedFilters + row-group statistics
+    skipping — at 100 TB on shipdate-partitioned data the date range
+    also prunes partitions), and the surviving rows fold into one
+    partial-agg-then-single-exchange plan. Discount values are exact
+    2-decimal doubles read identically by both engines, so the BETWEEN
+    boundary is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    delta = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(12,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(delta).cast("double").alias("revenue_delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 70. Perplexity tertile routing (CCNet head/middle/tail split)
+# ---------------------------------------------------------------------------
+@register(
+    "ppl_tertile_routing",
+    f"""
+    WITH ppl AS ({_PPL_CORE_SQL}),
+    t AS (
+        SELECT d.lang, ppl.ppl,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY ppl.ppl, ppl.doc_id) AS tert
+        FROM ppl JOIN documents d ON ppl.doc_id = d.doc_id
+    )
+    SELECT lang,
+           CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           count(*)::BIGINT AS n_docs,
+           round((sum(ppl::DECIMAL(18,4)))::DOUBLE / count(*), 6) AS mean_ppl,
+           min(ppl) AS min_ppl,
+           max(ppl) AS max_ppl
+    FROM t
+    GROUP BY lang, bucket
+    """,
+)
+def ppl_tertile_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style routing (Wenzek et al. 2020): split each language's
+    documents into head/middle/tail by LM perplexity — head feeds
+    training directly, middle gets re-scored, tail is dropped. Reuses
+    the relational char-bigram LM (one spec, two consumers) and joins
+    language back from the source table.
+
+    The exact ntile(3) per-lang window is the oracle-checkable form;
+    it costs one shuffle on lang and a per-lang sort, fine at bench
+    scale but a skew hazard at 100 TB (one partition per language).
+    The scale path is the one CCNet itself uses: derive the two cutoff
+    ppl values per lang from a sample/approx_percentile (a tiny
+    broadcastable table) and route with two comparisons — same shape
+    as curriculum_selection's documented quantile path. Ties are
+    broken by doc_id so the tertile assignment is deterministic in
+    both engines (ppl is rounded to 4 decimals; equal values are
+    real)."""
+    base = char_bigram_ppl(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ppl").asc(), F.col("doc_id").asc()
+    )
+    t = base.join(docs, "doc_id").withColumn("tert", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tert") == 1, "head")
+        .when(F.col("tert") == 2, "middle")
+        .otherwise("tail")
+    )
+    return t.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("ppl").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ppl"),
+        F.min("ppl").alias("min_ppl"),
+        F.max("ppl").alias("max_ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 71. Benchmark decontamination (GPT-3 appendix-C / Llama shape):
+#     training docs sharing a word n-gram with a held-out eval set.
+# ---------------------------------------------------------------------------
+@register(
+    "benchmark_decontam",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {{tok}} AS toks FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' ') AS span
+        FROM tok,
+             unnest(range(1, greatest(len(toks) - {_SPAN_W} + 2, 1)::BIGINT)) AS t(i)
+    ),
+    ev AS (
+        SELECT DISTINCT span FROM sp WHERE doc_id % 7 = 0
+    )
+    SELECT sp.doc_id,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN ev.span IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_eval_hits,
+           round(sum(CASE WHEN ev.span IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS overlap
+    FROM sp LEFT JOIN ev ON sp.span = ev.span
+    WHERE sp.doc_id % 7 <> 0
+    GROUP BY sp.doc_id
+    HAVING sum(CASE WHEN ev.span IS NOT NULL THEN 1 ELSE 0 END) > 0
+    """.format(tok=_TOK),
+)
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3 appendix C, Llama 2): flag
+    training documents that share any word 8-gram with a held-out
+    benchmark — those docs inflate eval scores and must be dropped or
+    masked before training. The eval set here is the deterministic
+    doc_id % 7 == 0 slice (stand-in for MMLU/GSM8K etc.; the modulus is
+    sized so the sf0.01 corpus has real hits — 9 contaminated docs); differs
+    from span_contamination, which measures corpus-INTERNAL overlap.
+
+    Scale shape: a real benchmark is fixed-size (thousands of docs)
+    while the corpus is 100 TB, so the distinct eval-span table is
+    explicitly broadcast — the training side's spans are checked
+    map-side with ZERO shuffle of training data; the only wide op is
+    the per-doc aggregate of the (rare) hit rows. Output is bounded
+    by contaminated docs only (HAVING > 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sp = _doc_word_spans(docs, _SPAN_W)
+    is_eval = F.col("doc_id") % 7 == 0
+    ev = (
+        sp.filter(is_eval)
+        .select("span")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    hit = F.coalesce(F.col("__hit"), F.lit(0))
+    return (
+        sp.filter(~is_eval)
+        .join(F.broadcast(ev), "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(hit).cast("bigint").alias("n_eval_hits"),
+            F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 6).alias(
+                "overlap"
+            ),
+        )
+        .filter(F.col("n_eval_hits") > 0)
     )
