@@ -87,6 +87,7 @@ HEADLINE = [
     "discount_revenue_forecast",
     "ppl_tertile_routing",
     "benchmark_decontam",
+    "nation_market_share",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

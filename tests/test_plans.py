@@ -266,3 +266,13 @@ def test_q10_topk_no_global_sort(spark):
     p = plan_str(Q.queries()["returned_item_customers"](spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in p
     assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_q8_share_single_pass_no_cartesian(spark):
+    """Q8 shape: numerator and denominator are aggregates of ONE pass
+    (no self-join of two filtered aggs); bounded dims broadcast."""
+    p = plan_str(Q.queries()["nation_market_share"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 3  # cn, region, sn at least
+    # one aggregation pair (partial+final), not two per share column
+    assert p.count("HashAggregate") == 2

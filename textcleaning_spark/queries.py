@@ -92,6 +92,7 @@ _WINDOW_FRONT = [
     "discount_revenue_forecast",
     "ppl_tertile_routing",
     "benchmark_decontam",
+    "nation_market_share",
 ]
 _WINDOW_BACK = [
     # rows-only approximations: driver check is rows-only regardless
@@ -4193,4 +4194,89 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("n_eval_hits") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 72. National market share (TPC-H Q8 shape): conditional share inside
+#     an aggregate over a 7-table star.
+# ---------------------------------------------------------------------------
+_Q8_REGION = "AMERICA"
+_Q8_NATION = "NATION_6"
+
+
+@register(
+    "nation_market_share",
+    f"""
+    WITH base AS (
+        SELECT year(o_orderdate) AS o_year,
+               (l_extendedprice::DECIMAL(12,2))
+                   * (1 - l_discount::DECIMAL(12,2)) AS volume_dec,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = '{_Q8_REGION}'
+    )
+    SELECT o_year::BIGINT AS o_year,
+           (sum(CASE WHEN supp_nation = '{_Q8_NATION}'
+                     THEN volume_dec ELSE 0 END))::DOUBLE AS nation_volume,
+           (sum(volume_dec))::DOUBLE AS total_volume,
+           round((sum(CASE WHEN supp_nation = '{_Q8_NATION}'
+                           THEN volume_dec ELSE 0 END))::DOUBLE
+                 / (sum(volume_dec))::DOUBLE, 6) AS mkt_share
+    FROM base
+    GROUP BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's yearly order volume —
+    the numerator is a CASE inside the SAME aggregate as the
+    denominator, so the share needs ONE pass and one shuffle on o_year
+    (never a self-join of two filtered aggregates). Bounded dims
+    (nation both aliases, region — ≤25 rows each) are force-broadcast;
+    the customer-region predicate prunes the fact row count BEFORE
+    aggregation through the broadcast join chain. Both sums are exact
+    decimal cast to double, and the share division of those two exact
+    doubles is rounded to 6 — deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == _Q8_NATION, vol).otherwise(F.lit(0))
+    )
+    total_vol = F.sum(vol)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            nation_vol.cast("double").alias("nation_volume"),
+            total_vol.cast("double").alias("total_volume"),
+            F.round(
+                nation_vol.cast("double") / total_vol.cast("double"), 6
+            ).alias("mkt_share"),
+        )
     )
