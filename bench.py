@@ -88,6 +88,7 @@ HEADLINE = [
     "ppl_tertile_routing",
     "benchmark_decontam",
     "nation_market_share",
+    "host_keep_profile",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

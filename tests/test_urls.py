@@ -101,3 +101,36 @@ def test_url_dedup_tie_breaks_deterministically(spark):
     kept = url_dedup(df).collect()
     assert len(kept) == 1
     assert kept[0]["url"] == "http://a.com/p/"  # min raw url on equal ts
+
+
+def test_host_engines_agree(spark):
+    """host() (Spark) and host_sql() (DuckDB) must agree on the
+    canonical forms of every pinned case, and never include a path,
+    query, or scheme fragment."""
+    import duckdb
+
+    from textcleaning_spark.functions.urls import (
+        canonical_url,
+        canonical_url_sql,
+        host,
+        host_sql,
+    )
+
+    raw = [c for c, _ in CASES]
+    sdf = spark.createDataFrame([(c,) for c in raw], "u string")
+    got_spark = [
+        r.h for r in sdf.select(host(canonical_url("u")).alias("h")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"('{c}')" for c in raw) + ") v(u)")
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {host_sql(canonical_url_sql('u'))} FROM t"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+    for h in got_spark:
+        assert h and "/" not in h and "?" not in h and "#" not in h
+        assert not h.startswith("http") and not h.startswith("www.")

@@ -69,3 +69,17 @@ def canonical_url_sql(col: str) -> str:
         sql_pat = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{sql_pat}', ''{flag})"
     return out
+
+
+def host(canonical: Column) -> Column:
+    """Host of a CANONICAL url (everything before the first ``/`` or
+    ``?``). Domain-level policy — C4's badlist, RefinedWeb's blocklist,
+    per-host keep-rate reports — keys on this, not the full url.
+    Feed it :func:`canonical_url` output (scheme/www/case already
+    normalized); on a raw url the scheme would swallow the host."""
+    return F.regexp_extract(canonical, r"^[^/?]+", 0)
+
+
+def host_sql(canonical: str) -> str:
+    """DuckDB twin of :func:`host` over a canonical-url SQL fragment."""
+    return f"regexp_extract({canonical}, '^[^/?]+')"

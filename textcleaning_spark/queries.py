@@ -93,6 +93,7 @@ _WINDOW_FRONT = [
     "ppl_tertile_routing",
     "benchmark_decontam",
     "nation_market_share",
+    "host_keep_profile",
 ]
 _WINDOW_BACK = [
     # rows-only approximations: driver check is rows-only regardless
@@ -4279,4 +4280,55 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nation_vol.cast("double") / total_vol.cast("double"), 6
             ).alias("mkt_share"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 73. Host-level keep profile (C4 badlist / RefinedWeb blocklist shape)
+# ---------------------------------------------------------------------------
+@register(
+    "host_keep_profile",
+    f"""
+    WITH raw AS (
+        SELECT doc_id,
+               {_RAW_URL_SQL} AS raw_url,
+               {T.keep_expr_sql('text')} AS keep
+        FROM documents
+    )
+    SELECT {_urls.host_sql(_urls.canonical_url_sql('raw_url'))} AS host,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+           round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS keep_rate
+    FROM raw
+    GROUP BY 1
+    """,
+)
+def host_keep_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host keep rate — the report that feeds a domain blocklist
+    (C4 maintains a host badlist; RefinedWeb filters whole domains
+    before any per-document rule runs). Hosts with a pathological keep
+    rate get blocked at the SOURCE level, so 100 TB of their pages are
+    never scanned again. Reuses the synthesized raw urls (the documents
+    table carries no url column) and the one-spec rule verdict.
+
+    Scale shape: canonicalize + host-extract are scan-side native
+    regexps fused into the scoring project (zero extra passes); the
+    single shuffle keys on host with map-side partial counts, so a
+    mega-host (half the crawl is one CDN domain) contributes one
+    partial row per input partition, never a hot reduce task."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    scored = q.score_documents(docs, "text", _QCFG)
+    hosted = scored.withColumn("raw_url", _raw_url_col()).withColumn(
+        "host", _urls.host(_urls.canonical_url("raw_url"))
+    )
+    keep_i = F.when(F.col("keep"), 1).otherwise(0)
+    return hosted.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(keep_i).cast("bigint").alias("n_keep"),
+        F.round(F.sum(keep_i).cast("double") / F.count(F.lit(1)), 6).alias(
+            "keep_rate"
+        ),
     )
