@@ -276,3 +276,16 @@ def test_q8_share_single_pass_no_cartesian(spark):
     assert p.count("BroadcastHashJoin") >= 3  # cn, region, sn at least
     # one aggregation pair (partial+final), not two per share column
     assert p.count("HashAggregate") == 2
+
+
+def test_decontam_broadcast_by_stats_not_forced(spark):
+    """benchmark_decontam: the eval-span side must broadcast (training
+    spans never shuffle for the join) WITHOUT a forced hint — a
+    corpus-sized eval slice must be free to degrade to a shuffle join
+    instead of OOMing executors."""
+    df = Q.queries()["benchmark_decontam"](spark, SF_ORACLE)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -4168,11 +4168,16 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from span_contamination, which measures corpus-INTERNAL overlap.
 
     Scale shape: a real benchmark is fixed-size (thousands of docs)
-    while the corpus is 100 TB, so the distinct eval-span table is
-    explicitly broadcast — the training side's spans are checked
-    map-side with ZERO shuffle of training data; the only wide op is
-    the per-doc aggregate of the (rare) hit rows. Output is bounded
-    by contaminated docs only (HAVING > 0)."""
+    while the corpus is 100 TB, so the distinct eval-span table
+    broadcasts — but the hint is NOT forced: join strategy is left to
+    size statistics + AQE (measured: picks BroadcastHashJoin here), so
+    an eval slice that ever grew corpus-sized degrades to a shuffle
+    join instead of OOMing every executor (the round-1/round-2
+    forced-broadcast lesson). With the broadcast, training spans are
+    checked map-side with ZERO shuffle of training data; the only wide
+    op is the per-doc aggregate, which map-side-combines to one row
+    per doc. Output is bounded by contaminated docs only (HAVING >
+    0)."""
     docs = load_table(spark, sf_dir, "documents")
     sp = _doc_word_spans(docs, _SPAN_W)
     is_eval = F.col("doc_id") % 7 == 0
@@ -4185,7 +4190,7 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = F.coalesce(F.col("__hit"), F.lit(0))
     return (
         sp.filter(~is_eval)
-        .join(F.broadcast(ev), "span", "left")
+        .join(ev, "span", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_spans"),
