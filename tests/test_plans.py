@@ -82,13 +82,18 @@ def test_cooccurrence_single_self_join_shuffles_on_word(spark):
 
 def test_shipping_priority_pushdown_and_topk(spark):
     """Q3 shape: all three selective predicates reach their parquet
-    scans; top-10 runs as TakeOrderedAndProject, not a global sort."""
-    p = plan_str(Q.queries()["shipping_priority"](spark, SF_ORACLE))
+    scans; top-10 runs as TakeOrderedAndProject, not a global sort.
+    No hint-forced joins (the filtered orders side is fact-sized at
+    100 TB): whatever broadcasts at bench scale is a SIZE decision."""
+    df = Q.queries()["shipping_priority"](spark, SF_ORACLE)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+    p = plan_str(df)
     assert "EqualTo(c_mktsegment,BUILDING)" in p
     assert "LessThan(o_orderdate" in p
     assert "GreaterThan(l_shipdate" in p
     assert "TakeOrderedAndProject" in p
-    assert p.count("BroadcastHashJoin") == 2
+    assert p.count("BroadcastHashJoin") == 2  # size stats pick broadcast here
     assert "SortMergeJoin" not in p
 
 

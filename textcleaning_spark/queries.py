@@ -2403,10 +2403,14 @@ _Q3_DATE = "1998-01-01"
     """,
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3-shaped: selective dim filter broadcast into the fact join,
-    DECIMAL-exact revenue, top-k via TakeOrderedAndProject (no global
-    sort materialization). Predicates sit on base tables so Catalyst
-    pushes them into the parquet scans."""
+    """Q3-shaped: DECIMAL-exact revenue, top-k via
+    TakeOrderedAndProject (no global sort materialization). Predicates
+    sit on base tables so Catalyst pushes them into the parquet scans.
+    The date-filtered orders side keeps ~45% of a FACT table, so no
+    join is hint-forced: size statistics + AQE broadcast both filtered
+    sides at bench scale (plan-gated) and degrade to shuffle joins at
+    100 TB instead of OOMing executors (round-1 lesson; same policy as
+    Q7/Q12/Q17)."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == _Q3_SEG
     )
@@ -2420,8 +2424,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
