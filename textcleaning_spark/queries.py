@@ -47,7 +47,7 @@ def register(name: str, sql: str | None = None):
 
 # Driver-window rotation (round 3). The driver's correctness gate records
 # only the FIRST 50 entries of queries() in iteration order; the registry
-# has 79. Entries that have never received a driver row (CORRECTNESS_r01/
+# has 87. Entries that have never received a driver row (CORRECTNESS_r01/
 # r02) are pinned to the front so they get verified this round; the
 # rows-only ANN approximations (whose driver check is weakest) plus nine
 # of the longest-stable queries (hash-green in BOTH rounds 1 and 2)
