@@ -89,6 +89,7 @@ HEADLINE = [
     "benchmark_decontam",
     "nation_market_share",
     "host_keep_profile",
+    "vocab_growth_curve",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

@@ -94,6 +94,7 @@ _WINDOW_FRONT = [
     "benchmark_decontam",
     "nation_market_share",
     "host_keep_profile",
+    "vocab_growth_curve",
 ]
 _WINDOW_BACK = [
     # rows-only approximations: driver check is rows-only regardless
@@ -4340,4 +4341,73 @@ def host_keep_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(keep_i).cast("double") / F.count(F.lit(1)), 6).alias(
             "keep_rate"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 74. Vocabulary growth curve (Heaps' law report)
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_growth_curve",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOK} AS toks FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+        FROM tok,
+             unnest(range(1, greatest(len(toks), 1)::BIGINT)) AS t(i)
+    ),
+    n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+    firsts AS (
+        SELECT gram, min(doc_id) AS first_doc FROM sp GROUP BY gram
+    ),
+    b AS (
+        SELECT least((first_doc * 10) // n.n_docs, 9)::INT AS bucket,
+               count(*)::BIGINT AS new_bigrams
+        FROM firsts CROSS JOIN n
+        GROUP BY 1
+    )
+    SELECT bucket::BIGINT AS bucket,
+           new_bigrams,
+           sum(new_bigrams) OVER (ORDER BY bucket)::BIGINT AS vocab_size
+    FROM b
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth over corpus prefixes (Heaps' law): new
+    distinct word bigrams and cumulative vocabulary per corpus decile
+    — how a pipeline decides when vocabulary statistics have converged
+    (the reference tracked exactly this between runs: 16,545 distinct
+    words run 1 → 2,943 post-distribution, sna_analysis.py:162-168).
+    Bigrams, not unigrams: the synthetic word vocabulary saturates in
+    the first decile, so the unigram curve is one flat row; the bigram
+    space keeps growing the way a real crawl's vocabulary does.
+
+    The naive form — count(DISTINCT) over a growing prefix window — is
+    quadratic and needs per-row distinct state; this form is linear:
+    a gram's contribution to the curve is exactly its FIRST occurrence
+    (min doc_id per gram, one shuffle), then a ≤10-row bucket agg +
+    running sum. The 1-row corpus-size scalar broadcasts; bucket ids
+    use integer division so both engines agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    sp = _doc_word_spans(docs, 2).withColumnRenamed("span", "gram")
+    n = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    firsts = sp.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    b = (
+        firsts.crossJoin(F.broadcast(n))
+        .select(
+            F.least(
+                F.expr("div(first_doc * 10, n_docs)"), F.lit(9)
+            ).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_bigrams"))
+    )
+    w = Window.orderBy("bucket")
+    return b.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "new_bigrams",
+        F.sum("new_bigrams").over(w).cast("bigint").alias("vocab_size"),
     )
