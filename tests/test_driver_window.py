@@ -2,52 +2,69 @@
 
 The round driver records correctness rows for only the FIRST 50
 entries of queries() in iteration order. These tests pin the rotation
-so a future registration can't silently push a not-yet-driver-verified
-query out of the window.
+so a future registration can't silently push a stale (least-recently
+driver-verified) query out of the window.
 """
 
 from __future__ import annotations
 
 from textcleaning_spark import queries as Q
 
-# Oracle-backed queries with no CORRECTNESS_r01/r02 row (VERDICT r2
-# item 1) plus everything added in round 3 — all must receive their
-# first driver row this round.
+# Round-4 window: every entry whose last driver row predates round 3
+# (the 21 oracle-backed entries rotated out in r3, the 13 mid entries
+# past the r3 cutoff, the 4 rows-only ANN approximations) plus every
+# query new in round 4 — all must receive a driver row this round.
 MUST_BE_IN_WINDOW = [
-    "volume_shipping",
-    "priority_class_by_returnflag",
-    "small_quantity_revenue",
-    "incremental_upsert",
-    "near_dup_clusters",
-    "events_in_purchase_windows",
-    "deterministic_sample",
-    "curriculum_selection",
-    "boilerplate_line_scrub",
-    "rule_hit_profile",
-    "sole_late_supplier",
-    "span_contamination",
-    "media_feature_profile",
-    # round 3
-    "source_quality_filter",
-    "nb_quality_confusion",
-    "nb_holdout_confusion",
-    "stratified_sample",
-    "training_mix_report",
-    "sequence_packing",
-    "dedup_keep_verdict",
-    "lang_sampling_weights",
-    "url_canonical_dedup",
-    "token_count_histogram",
-    "top_supplier_revenue",
-    "promo_brand_revenue",
-    "returned_item_customers",
-    "discount_revenue_forecast",
-    "ppl_tertile_routing",
-    "benchmark_decontam",
-    "nation_market_share",
-    "host_keep_profile",
-    "vocab_growth_curve",
+    # oracle-backed, last driver-verified r1/r2 (old back list)
+    "char_bigram_ppl",
+    "rollup_revenue",
+    "langid_marker_confusion",
+    "shipping_priority",
+    "late_shipment_priorities",
+    "shingle_near_dup",
+    "doc_fingerprints",
+    "embedding_near_dup",
+    "lang_route_counts",
+    "vocab_topk",
+    "event_day_labels",
+    "event_props_stats",
+    "keyword_hits",
+    "vocab_setops",
+    "subtoken_counts",
+    "doc_length_deciles",
+    "events_lead_lag",
+    "routed_union_profile",
+    "idf_descriptive_stats",
+    "idf_quantile_cutoff",
+    "major_pos",
+    # oracle-backed mid entries that fell past the r3 cutoff
+    "near_dup_jaccard",
+    "embedding_topk",
+    "cube_profile",
+    "scrub_parity",
+    "stem_surface_forms",
+    "cleaned_text",
+    "vocab_semijoin_counts",
+    "stopword_antijoin_counts",
+    "simhash_fingerprints",
+    "lsh_candidate_pairs",
+    "nlp_tag_distribution",
+    "idf_alpha_sweep",
+    "asof_event_orders",
+    # rows-only ANN approximations, last driver-seen r1/r2
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_recall_vs_bruteforce",
+    "embedding_near_dup_fast",
+    # new in round 4
+    "ppl_cutoff_routing",
 ]
+
+
+def test_registry_size():
+    # The rotation comment in queries.py reasons about window budgets
+    # from this number — pin it so the comment can't drift (ADVICE r3).
+    assert len(Q.queries()) == 89
 
 
 def test_unverified_queries_inside_driver_window():
@@ -70,6 +87,7 @@ def test_queries_and_oracles_consistent():
         "ann_recall_vs_bruteforce",
         "embedding_near_dup_fast",
         "media_feature_profile",
+        "ppl_cutoff_routing",
     ]
 
 

@@ -271,6 +271,16 @@ def test_q10_topk_no_global_sort(spark):
     p = plan_str(Q.queries()["returned_item_customers"](spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in p
     assert "EqualTo(l_returnflag,R)" in p
+    # exactly ONE forced hint — the bounded nation dim. A second
+    # ResolvedHint means someone force-broadcast a fact-side frame
+    # (the round-1 OOM lesson); orders/customer must stay stats/AQE.
+    logical = (
+        Q.queries()["returned_item_customers"](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert logical.count("ResolvedHint") == 1, logical
 
 
 def test_q8_share_single_pass_no_cartesian(spark):
@@ -281,6 +291,22 @@ def test_q8_share_single_pass_no_cartesian(spark):
     assert p.count("BroadcastHashJoin") >= 3  # cn, region, sn at least
     # one aggregation pair (partial+final), not two per share column
     assert p.count("HashAggregate") == 2
+
+
+def test_ppl_cutoff_routing_no_per_lang_sort(spark):
+    """The CCNet cutoff scale path must contain NO window operator and
+    no per-lang sort — routing is a broadcast of the languages-sized
+    cutoff table plus two comparisons; the only corpus-wide exchange is
+    the final groupBy(lang, bucket) with map-side partials. (The exact
+    ntile oracle twin keeps its per-lang window by design.)"""
+    p = plan_str(Q.queries()["ppl_cutoff_routing"](spark, SF_ORACLE))
+    assert "Window" not in p, p
+    assert "Sort " not in p and "SortExec" not in p, p
+    # the cutoff table joins broadcast-side
+    assert "BroadcastHashJoin" in p
+    # sanity: the exact twin really is the windowed form
+    p_exact = plan_str(Q.queries()["ppl_tertile_routing"](spark, SF_ORACLE))
+    assert "Window" in p_exact
 
 
 def test_decontam_broadcast_by_stats_not_forced(spark):
