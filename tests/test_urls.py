@@ -31,6 +31,16 @@ CASES = [
      "sub.www-site.org/p?q=1"),
     # utm_ needs at least one [a-z0-9] char; bare 'utm_=' is kept
     ("https://example.com/p?utm_=x&z=2", "example.com/p?utm_=x&z=2"),
+    # separator-anchored: substrings of LONGER param names never match
+    ("https://example.com/p?xutm_foo=bar&q=1",
+     "example.com/p?xutm_foo=bar&q=1"),
+    ("https://example.com/p?page=1&myfbclid=keep",
+     "example.com/p?page=1&myfbclid=keep"),
+    # '=' right-anchors fbclid/gclid; longer names survive whole
+    ("https://example.com/p?fbclidx=1", "example.com/p?fbclidx=1"),
+    # tracking params stripped around a surviving impostor
+    ("https://example.com/p?utm_a=1&xgclid=2&utm_b=3",
+     "example.com/p?xgclid=2"),
 ]
 
 

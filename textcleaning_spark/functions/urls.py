@@ -24,7 +24,14 @@ Steps, in order:
 3. drop the scheme (``http://`` vs ``https://`` recrawl identically).
 4. drop a leading ``www.``.
 5. drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``) while
-   preserving all other query parameters.
+   preserving all other query parameters. Each tracking param is
+   anchored at its OWN separator so substrings of longer names never
+   match (``?xutm_foo=bar`` and ``&myfbclid=keep`` survive): the single
+   query ``?`` is first normalized to ``&`` (anchored first-match), the
+   strip consumes ``&name=value`` whole (consecutive tracking params
+   each carry their own ``&``), and the first surviving ``&`` is
+   restored to ``?``. The ``=`` right-anchors ``fbclid``/``gclid``
+   (``?fbclidx=1`` survives).
 6. strip a now-dangling ``?``/``&`` and any trailing slashes.
 
 All native ``lower``/``regexp_replace`` — whole-stage codegen'd, no
@@ -38,36 +45,45 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# (pattern, needs_global) — applied in order to the lowercased input.
-_STEPS: tuple[tuple[str, bool], ...] = (
-    (r"#.*$", False),          # fragment (first match == only match: anchored tail)
-    (r"^https?://", False),    # scheme
-    (r"^www\.", False),        # www prefix
-    # tracking params with their own separator; next param (if any)
-    # slides left onto the surviving '?'/'&'. Unanchored -> global.
-    (r"(utm_[a-z0-9]+|fbclid|gclid)=[^&#]*&?", True),
-    (r"[?&]+$", False),        # dangling separator left by step 4
-    (r"/+$", False),           # trailing slashes
+# (pattern, spark_repl, duck_repl, needs_global) — applied in order to
+# the lowercased input. Replacement group syntax differs per engine
+# (Java Matcher `$1` vs RE2 `\1`); the PATTERNS are shared verbatim.
+_STEPS: tuple[tuple[str, str, str, bool], ...] = (
+    (r"#.*$", "", "", False),        # fragment (anchored tail: first == only)
+    (r"^https?://", "", "", False),  # scheme
+    (r"^www\.", "", "", False),      # www prefix
+    # query-start normalized to '&' (anchored -> first '?' only), so
+    # every param — including the first — owns a leading '&'
+    (r"^([^?]*)\?", "$1&", r"\1&", False),
+    # tracking param stripped WITH its own separator: the '&' left-
+    # anchors the name (no substring matches inside longer names) and
+    # '=' right-anchors fbclid/gclid; consecutive tracking params each
+    # match independently. Unanchored -> global.
+    (r"&(utm_[a-z0-9]+|fbclid|gclid)=[^&#]*", "", "", True),
+    (r"^([^&]*)&", "$1?", r"\1?", False),  # restore query start
+    (r"[?&]+$", "", "", False),      # dangling separator (empty query)
+    (r"/+$", "", "", False),         # trailing slashes
 )
 
 
 def canonical_url(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     out = F.lower(c)
-    for pat, _ in _STEPS:
-        out = F.regexp_replace(out, pat, "")
+    for pat, repl, _, _ in _STEPS:
+        out = F.regexp_replace(out, pat, repl)
     return out
 
 
 def canonical_url_sql(col: str) -> str:
     out = f"lower({col})"
-    for pat, is_global in _STEPS:
+    for pat, _, repl, is_global in _STEPS:
         flag = ", 'g'" if is_global else ""
         # standard SQL literals: '' escapes a quote; backslashes pass
         # through verbatim (DuckDB does NOT process \-escapes), so the
-        # Java-regex pattern string is reused as-is for RE2
+        # Java-regex pattern string is reused as-is for RE2, and the
+        # RE2 replacement's \1 survives as-is too
         sql_pat = pat.replace("'", "''")
-        out = f"regexp_replace({out}, '{sql_pat}', ''{flag})"
+        out = f"regexp_replace({out}, '{sql_pat}', '{repl}'{flag})"
     return out
 
 

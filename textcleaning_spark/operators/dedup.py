@@ -557,20 +557,30 @@ def url_dedup(df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts") -> D
     north-star contract keys byte-identical text per url).
 
     Scale: the canonical form is computed scan-side (native regexps),
-    and the one shuffle keys on the canonical string. Crawl snapshots
-    are heavily url-skewed only at hot hosts, not hot full urls, so no
-    salting is needed; row_number-per-key does a partial top-1 per
-    map-side partition under AQE before the exchange.
+    and the one shuffle keys on the canonical string. The top-1 is a
+    ``min_by`` aggregate over an ordering struct — a real declarative
+    aggregate with a PARTIAL phase, so each map-side partition reduces
+    its rows to one candidate per canonical url BEFORE the exchange
+    (a window row_number has no partial: it would shuffle the whole
+    pages frame). Ordering struct = (-unix_micros(ts), url): struct
+    min is lexicographic, so max ts wins and ties break on min raw
+    url — identical semantics to the previous window form
+    (tests pin both the keep-latest and the tie-break behavior).
+    Crawl snapshots are heavily url-skewed only at hot hosts, not hot
+    full urls, and the partial phase absorbs even those.
     """
     from textcleaning_spark.functions.urls import canonical_url
 
-    w = (
-        Window.partitionBy("canonical_url")
-        .orderBy(F.col(ts_col).desc(), F.col(url_col).asc())
+    pages = df.withColumn("canonical_url", canonical_url(url_col))
+    # cast guards TIMESTAMP_NTZ parquet reads (CLAUDE.md Spark-4 rule);
+    # any session-TZ shift is monotonic, so the ordering is unchanged
+    order_key = F.struct(
+        (-F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("neg_ts"),
+        F.col(url_col).alias("url_tb"),
     )
+    payload = F.struct(*[F.col(c) for c in pages.columns])
     return (
-        df.withColumn("canonical_url", canonical_url(url_col))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        pages.groupBy("canonical_url")
+        .agg(F.min_by(payload, order_key).alias("_keep"))
+        .select("_keep.*")
     )
