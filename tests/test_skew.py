@@ -88,6 +88,107 @@ def test_salted_group_count_equals_plain(spark):
     assert plan.count("HashAggregate") >= 4  # (partial+final) x 2 phases
 
 
+def _shingle_sets(df):
+    """(doc, toks) frame of distinct word-3-gram shingles, the same
+    set encoding shingle_near_dup feeds to ppjoin_pairs."""
+    toks = F.split("text", " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
+        )
+    )
+    return df.select("doc", sh.alias("toks"))
+
+
+def test_ppjoin_hot_shingle_bounded_candidates(spark):
+    """Adversarial corpus for the dedup_keep_verdict candidate stage:
+    every doc shares one boilerplate sentence (3 shingles with df=N);
+    the rest of each doc is unique. The naive shared-shingle self-join
+    pays C(N,2) pairs PER hot shingle — O(k²) in a single key at crawl
+    scale. The PPJoin prefix order (df asc, shingle asc) sorts the hot
+    shingles LAST in every doc, so they never enter a prefix: the
+    candidate space is exactly empty, and the exact operator output is
+    too (no pair reaches Jaccard 0.5)."""
+    from decimal import Decimal
+
+    from textcleaning_spark.operators.dedup import (
+        _ppjoin_candidates,
+        ppjoin_pairs,
+    )
+
+    n = 120
+    rows = [
+        (i, f"subscribe to our newsletter today u{i} v{i} w{i} x{i} y{i} z{i}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc: long, text: string")
+    sets = _shingle_sets(df).withColumn("sz", F.size("toks"))
+
+    exploded = sets.select("doc", F.explode("toks").alias("s"))
+    naive_pairs = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .count()
+    )
+    assert naive_pairs >= 3 * n * (n - 1) // 2  # the blowup being avoided
+
+    cand = _ppjoin_candidates(sets, F.lit(Decimal("0.5")))
+    assert cand.count() == 0
+    assert ppjoin_pairs(_shingle_sets(df), "doc", "toks", 0.5).count() == 0
+
+
+def test_ppjoin_shingle_pairs_equal_naive(spark):
+    """ppjoin_pairs must be value-equal to the naive shared-shingle
+    form on a corpus WITH true near-dups (pairs at and around the
+    threshold, plus unrelated docs)."""
+    from textcleaning_spark.operators.dedup import ppjoin_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the old mill"
+    rows = [
+        (0, base),
+        (1, base),                                        # exact dup
+        (2, base + " tonight"),                           # near dup
+        (3, "the quick brown fox sleeps under a warm sun by the river"),
+        (4, "completely different words in this document body here now"),
+        (5, "another unrelated page about spark shuffle partitions"),
+    ] + [(10 + i, f"filler doc {i} with its own tokens a{i} b{i} c{i} d{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc: long, text: string")
+    sets = _shingle_sets(df)
+
+    got = _sorted_rows(ppjoin_pairs(sets, "doc", "toks", 0.5))
+
+    sized = sets.withColumn("sz", F.size("toks"))
+    ex = sized.select("doc", "sz", F.explode("toks").alias("s"))
+    common = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("common")
+    )
+    want = _sorted_rows(
+        common.filter(jac >= 0.5).select(
+            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        )
+    )
+    assert got == want
+    assert len(want) >= 2  # the corpus really contains near-dup pairs
+
+
 def test_salted_join_small_right_equals_plain(spark):
     """Salt-replicated join must be value-equal to the plain inner
     join: hot big-side keys, duplicate small-side keys, and unmatched

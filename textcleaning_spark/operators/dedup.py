@@ -124,42 +124,27 @@ def lsh_candidate_pairs(
     )
 
 
-def token_jaccard_pairs(
-    df: DataFrame, doc_col: str, text_col: str, threshold: float = 0.8
-) -> DataFrame:
-    """All-pairs token-set Jaccard ≥ threshold — EXACT, prefix-filtered.
+def _ppjoin_candidates(tok_sets: DataFrame, t_dec) -> DataFrame:
+    """PPJoin candidate pairs over ``(doc, toks, sz)`` element sets.
 
-    The naive plan joins full posting lists on ``word``: one hot token
-    (a stop word in 40% of documents) alone yields a quadratic pair
-    space — measured 99 s at sf0.1 and fatal at web scale. Prefix
-    filtering (PPJoin, Xiao et al. 2008 — public result) is lossless:
-    under any GLOBAL total token order, two sets with Jaccard ≥ t must
-    share their smallest common token within each set's first
-    ``floor((1-t)·|set|)+1`` tokens. Ordering by (document frequency
-    asc, word asc) makes those prefixes the RAREST tokens — length 1-2
-    at t=0.96 — so the candidate join touches tiny postings, and hot
-    tokens never reach it. Exact Jaccard over the full token arrays
-    then decides each candidate; results equal the naive form (the
-    DuckDB oracle runs the naive SQL and value-matches this plan).
+    Prefix filtering (PPJoin, Xiao et al. 2008 — public result) is
+    lossless: under any GLOBAL total element order, two sets with
+    Jaccard ≥ t must share their smallest common element within each
+    set's first ``sz - ceil(t·sz) + 1`` elements. Ordering by
+    (document frequency asc, element asc) makes those prefixes the
+    RAREST elements, so the candidate join touches tiny postings and
+    hot elements (stop words, boilerplate shingles) never reach it —
+    a hot key with df = 1% of the corpus would otherwise make the
+    posting self-join O(k²) in that single key.
+
+    Exposed separately so tests can assert the candidate space is
+    bounded on adversarial corpora (tests/test_skew.py hot-shingle
+    case: naive pair space O(N²), candidates here 0).
     """
-    # Bounds in EXACT decimal arithmetic: with float t, (1-t)*sz can
-    # round across an integer boundary (t=0.8, sz=5: floor(0.9999…)=0
-    # → prefix 1 instead of the lossless 2; sz_b >= 4.0000000000000002
-    # rejects sz_b=4) and silently drop pairs AT the threshold. A
-    # Decimal literal of the threshold string makes t*sz exact, so
-    # prefix_len = sz - ceil(t*sz) + 1 and the length bounds are
-    # lossless for ANY threshold, not just ones that round favorably.
-    from decimal import Decimal
-
-    t_dec = F.lit(Decimal(str(threshold)))
-    tok_sets = df.select(
-        F.col(doc_col).alias("doc"),
-        F.array_distinct(tokens(text_col)).alias("toks"),
-    ).withColumn("sz", F.size("toks"))
     # explode_outer + null filter: a plain explode of the materialized
     # column makes the optimizer infer `size(toks) > 0` and push it
-    # below the Project, re-inlining array_distinct(split(...)) so the
-    # tokenization runs twice per row (see winnow_fingerprints note).
+    # below the Project, re-inlining the set-building expression so it
+    # runs twice per row (see winnow_fingerprints note).
     tok = (
         tok_sets.select("doc", "sz", F.explode_outer("toks").alias("word"))
         .filter(F.col("word").isNotNull())
@@ -179,7 +164,7 @@ def token_jaccard_pairs(
     # ≥ t force t·|A| ≤ |B| and t·|B| ≤ |A| — near-equal set sizes.
     # On corpora where the prefix tokens are not discriminative (tiny
     # vocabulary), this is what keeps the candidate space subquadratic.
-    cand = (
+    return (
         prefix.alias("pa")
         .join(
             prefix.alias("pb"),
@@ -191,6 +176,43 @@ def token_jaccard_pairs(
         .select(F.col("pa.doc").alias("doc_a"), F.col("pb.doc").alias("doc_b"))
         .distinct()
     )
+
+
+def ppjoin_pairs(
+    sets: DataFrame, doc_col: str, set_col: str, threshold: float
+) -> DataFrame:
+    """All-pairs set Jaccard ≥ threshold — EXACT, prefix-filtered.
+
+    ``sets`` carries one row per document with a DISTINCT-element array
+    (tokens, shingles, any set encoding). Candidates come from the
+    PPJoin prefix+length bounds (:func:`_ppjoin_candidates`); exact
+    Jaccard over the full arrays then decides each candidate, so the
+    result equals the naive shared-element self-join form (the DuckDB
+    oracles run the naive SQL and value-match this plan) while the
+    candidate space stays bounded under hot elements.
+    """
+    # Bounds in EXACT decimal arithmetic: with float t, (1-t)*sz can
+    # round across an integer boundary (t=0.8, sz=5: floor(0.9999…)=0
+    # → prefix 1 instead of the lossless 2; sz_b >= 4.0000000000000002
+    # rejects sz_b=4) and silently drop pairs AT the threshold. A
+    # Decimal literal of the threshold string makes t*sz exact, so
+    # prefix_len = sz - ceil(t*sz) + 1 and the length bounds are
+    # lossless for ANY threshold, not just ones that round favorably.
+    from decimal import Decimal
+
+    t_dec = F.lit(Decimal(str(threshold)))
+    # localCheckpoint so the set-building expression (tokenize+shingle,
+    # typically the scan-stage cost) runs ONCE: the plan reads tok_sets
+    # three times (candidate explode + both verify sides) and column
+    # pruning keeps the branches distinct, so neither ReuseExchange nor
+    # AQE dedups them — same layout argument as simhash_near_dup's
+    # banded-fingerprint checkpoint.
+    tok_sets = (
+        sets.select(F.col(doc_col).alias("doc"), F.col(set_col).alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .localCheckpoint(eager=False)
+    )
+    cand = _ppjoin_candidates(tok_sets, t_dec)
     a = tok_sets.select(
         F.col("doc").alias("doc_a"),
         F.col("toks").alias("toks_a"),
@@ -213,6 +235,24 @@ def token_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def token_jaccard_pairs(
+    df: DataFrame, doc_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """All-pairs token-set Jaccard ≥ threshold — EXACT, prefix-filtered.
+
+    The naive plan joins full posting lists on ``word``: one hot token
+    (a stop word in 40% of documents) alone yields a quadratic pair
+    space — measured 99 s at sf0.1 and fatal at web scale. See
+    :func:`ppjoin_pairs` for the bounded-candidate plan this routes
+    through.
+    """
+    sets = df.select(
+        F.col(doc_col).alias("doc"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    )
+    return ppjoin_pairs(sets, "doc", "toks", threshold)
 
 
 def simhash(

@@ -1934,10 +1934,21 @@ def shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 3-gram shingle Jaccard ≥ 0.5 — order-sensitive near-dup
     (token-set Jaccard is order-blind; shingles catch reorderings).
 
+    The candidate stage routes through the PPJoin prefix+length bounds
+    (operators/dedup.ppjoin_pairs) — lossless, so the DuckDB oracle
+    keeps its naive shared-shingle self-join form — instead of joining
+    raw shingle posting lists: one boilerplate 3-gram present in 1% of
+    a crawl would make the naive join O(k²) in that single key. Under
+    the (df asc, shingle asc) prefix order the hot shingles sort LAST
+    and never enter a prefix (tests/test_skew.py pins candidates = 0
+    on a corpus where every doc shares a boilerplate sentence).
+
     The token array is materialized ONCE into a column before the
     shingle expression references it four times — CollapseProject
     would otherwise inline four copies of the split (the CLAUDE.md
     pipeline-shape rule; measured ~3× on this query)."""
+    from textcleaning_spark.operators.dedup import ppjoin_pairs
+
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(F.col("doc_id").alias("doc"), T.tokens("text").alias("__toks"))
     toks = F.col("__toks")
@@ -1950,26 +1961,8 @@ def shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    sh = toked.select("doc", F.explode(shingles).alias("shingle"))
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingle").alias("shingle_b"))
-    common = (
-        a.join(b, (a.shingle == b.shingle_b) & (a.doc_a < b.doc_b))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("common").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("common")
-    )
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    sets = toked.select("doc", shingles.alias("__sh"))
+    return ppjoin_pairs(sets, "doc", "__sh", 0.5)
 
 
 # ---------------------------------------------------------------------------
