@@ -189,6 +189,42 @@ def test_ppjoin_shingle_pairs_equal_naive(spark):
     assert len(want) >= 2  # the corpus really contains near-dup pairs
 
 
+def test_cooccurrence_hot_key_guard_default_on(spark):
+    """One word shared by EVERY actor is the co-occurrence blowup: the
+    self-join pays k·(k-1) pairs for that single (ts, word) key. The
+    default-on cap drops over-cap keys (function words the IDF cutoff
+    kills anyway) before the join; below-cap keys are untouched, so a
+    corpus with no hot keys is value-identical with and without the
+    guard."""
+    from textcleaning_spark.operators.cooccurrence import (
+        actor_word_weights,
+        cooccurrence_edges,
+    )
+
+    n = 60
+    rows = [
+        (2024, f"actor{i}", f"d{i}", f"the unique{i} brand{i % 7}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "ts: long, actor: string, doc: string, text: string")
+    w = actor_word_weights(df, "ts", "actor", "text", "doc")
+
+    uncapped = cooccurrence_edges(w, max_actors_per_key=None)
+    capped = cooccurrence_edges(w, max_actors_per_key=10)
+    # 'the' (df=60) alone contributes 60·59 = 3540 directed pair rows
+    assert uncapped.count() >= n * (n - 1)
+    # capped: only the brand{0..6} groups (~9 actors each, < cap) pair up
+    got = _sorted_rows(capped)
+    brands_only = cooccurrence_edges(
+        w.filter(F.col("word").startswith("brand")), max_actors_per_key=None
+    )
+    assert got == _sorted_rows(brands_only)
+    assert 0 < len(got) < n * (n - 1)
+
+    # default (config cap 10_000) fires nowhere on this corpus
+    assert _sorted_rows(cooccurrence_edges(w)) == _sorted_rows(uncapped)
+
+
 def test_salted_join_small_right_equals_plain(spark):
     """Salt-replicated join must be value-equal to the plain inner
     join: hot big-side keys, duplicate small-side keys, and unmatched

@@ -61,6 +61,17 @@ STOP_WORDS: tuple[str, ...] = (
 # ---------------------------------------------------------------------------
 CC_DRIVER_THRESHOLD: int = 1_000_000
 
+# Co-occurrence self-join hot-key guard (default ON): join keys shared
+# by more than this many actors are dropped BEFORE the pair join. The
+# self-join is quadratic per (ts, word) group — one function word shared
+# by 10^6 actors is 10^12 pairs — and the over-cap keys are precisely
+# the function words the downstream IDF cutoff kills anyway (the
+# reference's own vocabulary pre-filter, sna_analysis.py:119, removes
+# them before its join). The cap is far above any group the driver's
+# synthetic corpora produce, so oracle-checked results are unchanged;
+# a 100 TB run tunes it per corpus, None disables.
+COOC_MAX_ACTORS_PER_KEY: int = 10_000
+
 # Budgets for whole-corpus GEMM near-dup: below BOTH gates the normalized
 # matrix is collected once and broadcast (fast path); above either, the same
 # BLAS kernel runs per IVF cell so nothing corpus-sized ever reaches the

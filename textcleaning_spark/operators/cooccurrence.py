@@ -39,24 +39,39 @@ def actor_word_weights(
     )
 
 
+_USE_CONFIG_CAP = object()  # sentinel: pass None to explicitly disable
+
+
 def cooccurrence_edges(
     weights: DataFrame,
     vocab: DataFrame | None = None,
-    max_actors_per_key: int | None = None,
+    max_actors_per_key: int | None = _USE_CONFIG_CAP,  # type: ignore[assignment]
 ) -> DataFrame:
     """Edge list: actor pairs sharing a word in the same ts bucket (J1).
 
     Keeps the reference's exact semantics: both (a,b) and (b,a) rows
     survive the inequality filter and are summed separately, weight per
     pair-occurrence = (w_a + w_b) / 2.
+
+    The hot-key guard is ON by default (config.COOC_MAX_ACTORS_PER_KEY;
+    pass ``max_actors_per_key=None`` to disable): keys above the cap
+    are removed via a broadcast ANTI-join on the over-cap set — tiny by
+    construction (only keys a quadratic blowup would come from), unlike
+    the keep-set which is vocabulary-sized. tests/test_skew.py pins
+    both the value-neutrality below the cap and the bounded pair count
+    on a corpus where one word is shared by every actor.
     """
     w = weights
     if vocab is not None:
         w = w.join(F.broadcast(vocab.select("word")), "word", "left_semi")
+    if max_actors_per_key is _USE_CONFIG_CAP:
+        from textcleaning_spark.config import COOC_MAX_ACTORS_PER_KEY
+
+        max_actors_per_key = COOC_MAX_ACTORS_PER_KEY
     if max_actors_per_key is not None:
         key_sizes = w.groupBy("ts", "word").agg(F.count(F.lit(1)).alias("k"))
-        ok = key_sizes.filter(F.col("k") <= max_actors_per_key).select("ts", "word")
-        w = w.join(F.broadcast(ok), ["ts", "word"], "left_semi")
+        hot = key_sizes.filter(F.col("k") > max_actors_per_key).select("ts", "word")
+        w = w.join(F.broadcast(hot), ["ts", "word"], "left_anti")
 
     a = w.select(
         F.col("ts"), F.col("word"),
