@@ -2589,15 +2589,29 @@ def media_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     codecs, multimodal/media.py) → feature kernel → per-kind profile;
     generated images alternate BMP/PNG so both codecs flow through.
     DCT/entropy formats (JPEG/MP4) remain the documented PIL/ffmpeg
-    integration point."""
+    integration point.
+
+    The codec invariants are asserted IN-QUERY (the ann_recall gate
+    pattern): every feature vector must be exactly 8-dim, each kind
+    must decode all 100 of its generated payloads, the 8th feature is
+    a kind marker (1=image, 2=audio, 3=video) that must agree on every
+    row, and f0 (width / seconds / frame count) must be positive. A
+    codec regression makes that kind's row vanish, so the driver's
+    rows-only check (3 rows == all invariants hold) catches it."""
     from textcleaning_spark.multimodal.media import extract_features, generate_media
 
     media = generate_media(spark, 300, seed=11)
     feats = extract_features(media, mode="real")
+    expected_marker = (
+        F.when(F.col("kind") == "image", 1.0)
+        .when(F.col("kind") == "audio", 2.0)
+        .otherwise(3.0)
+    )
     return (
         feats.select(
             "kind",
             F.element_at("features", 1).alias("f0"),
+            F.element_at("features", 8).alias("marker"),
             F.size("features").alias("dim"),
         )
         .groupBy("kind")
@@ -2605,7 +2619,20 @@ def media_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_media"),
             F.round(F.sum("f0"), 6).alias("sum_f0"),
             F.max("dim").cast("bigint").alias("feature_dim"),
+            F.min("dim").cast("bigint").alias("__min_dim"),
+            F.min("f0").alias("__min_f0"),
+            F.min("marker").alias("__min_marker"),
+            F.max("marker").alias("__max_marker"),
         )
+        .filter(
+            (F.col("feature_dim") == 8)
+            & (F.col("__min_dim") == 8)
+            & (F.col("n_media") == 100)
+            & (F.col("__min_f0") > 0)
+            & (F.col("__min_marker") == expected_marker)
+            & (F.col("__max_marker") == expected_marker)
+        )
+        .select("kind", "n_media", "sum_f0", "feature_dim")
     )
 
 
