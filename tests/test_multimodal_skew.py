@@ -73,15 +73,84 @@ def test_real_features_content_derived(spark):
 
 
 def test_media_compressed_formats_raise(spark):
-    """JPEG/MP4 genuinely need PIL/ffmpeg (DCT/entropy codecs) — those
-    paths stay an honest NotImplementedError. PNG decodes for real now
-    (stdlib zlib + numpy unfilter)."""
+    """MP4/MP3 genuinely need ffmpeg (inter-frame/psychoacoustic
+    codecs) — those paths stay an honest NotImplementedError. PNG and
+    baseline JPEG decode for real now; progressive JPEG (SOF2) is a
+    different entropy layout and raises ValueError, not a wrong
+    answer."""
     from textcleaning_spark.multimodal.media import _real_features
 
     with pytest.raises(NotImplementedError):
-        _real_features(b"\xff\xd8\xff\xe0...", "image/jpeg")
-    with pytest.raises(NotImplementedError):
         _real_features(b"\x00\x00\x00 ftypmp42", "video/mp4")
+    with pytest.raises(NotImplementedError):
+        _real_features(b"ID3\x04...", "audio/mpeg")
+
+    import numpy as np
+
+    from textcleaning_spark.multimodal import jpeg as J
+
+    good = J.encode_jpeg(np.full((8, 8, 3), 128, np.uint8))
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(progressive)
+
+
+def test_jpeg_roundtrip_and_structure():
+    """encode_jpeg emits a structurally valid baseline JFIF stream
+    (SOI, APP0-JFIF, 2 DQT, SOF0 with the true dims, 4 DHT, SOS, EOI)
+    and decode_jpeg recovers the pixels to PSNR ≥ 30 dB at quality 90
+    on non-multiple-of-8 dims, for BOTH 4:4:4 and 4:2:0; a flat image
+    is bit-exact (DCT of a constant block is pure DC)."""
+    import struct
+
+    import numpy as np
+
+    from textcleaning_spark.multimodal import jpeg as J
+
+    h, w = 45, 61
+    gy, gx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(gx * 4) % 256, (gy * 5) % 256, ((gx + gy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+
+    enc = J.encode_jpeg(rgb, quality=90)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    assert enc[2:4] == b"\xff\xe0" and enc[6:11] == b"JFIF\x00"
+    assert enc.count(b"\xff\xdb") >= 2 and enc.count(b"\xff\xc4") >= 4
+    sof = enc.index(b"\xff\xc0")
+    sh, sw = struct.unpack_from(">HH", enc, sof + 5)
+    assert (sh, sw) == (h, w)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255**2 / mse) if mse else float("inf")
+
+    for subsample in (False, True):
+        dec = J.decode_jpeg(J.encode_jpeg(rgb, quality=90, subsample=subsample))
+        assert dec.shape == (h, w, 3)
+        assert psnr(rgb, dec) >= 30.0, f"subsample={subsample}"
+
+    flat = np.full((16, 24, 3), 137, np.uint8)
+    assert (J.decode_jpeg(J.encode_jpeg(flat, quality=90)) == flat).all()
+
+
+def test_jpeg_features_near_bmp_features():
+    """The same pixels through the lossy JPEG leg must produce the
+    same dims/marker exactly and channel means within quantization
+    tolerance of the lossless BMP leg — so the generator's three-way
+    codec rotation cannot move the profile aggregates (which only sum
+    f0 = width)."""
+    import numpy as np
+
+    from textcleaning_spark.multimodal import jpeg as J
+    from textcleaning_spark.multimodal import media as M
+
+    rgb = M._image_pixels(11, 8, 48, 32)
+    fb = M._real_features(M.encode_bmp(rgb), "image/bmp")
+    fj = M._real_features(J.encode_jpeg(rgb, quality=90), "image/jpeg")
+    assert fj[:2] == fb[:2] and fj[6] == fb[6] and fj[7] == fb[7]
+    for i in (2, 3, 4, 5):  # channel means + gray std
+        assert abs(fj[i] - fb[i]) < 2.0, (i, fb[i], fj[i])
 
 
 def test_png_roundtrip_and_filters():

@@ -13,16 +13,19 @@ with numpy + struct only (both published byte layouts):
 * ``image/png``   — 8-bit non-interlaced gray/RGB/RGBA PNG (RFC 2083):
   stdlib zlib inflate + full scanline unfilter (None/Sub/Up/Average/
   Paeth) in numpy — PNG's only non-trivial parts are exactly those two
+* ``image/jpeg``  — baseline JPEG (ITU-T T.81): Annex K tables,
+  canonical Huffman, IDCT, 4:4:4/4:2:2/4:2:0, restart intervals —
+  multimodal/jpeg.py, pure numpy (progressive/arithmetic raise)
 * ``audio/wav``   — RIFF/WAVE PCM 16-bit mono
 * ``video/x-raw-frames`` — a trivial length-prefixed container of BMP
   frames (magic ``RAWVID01``), standing in for a frame-accurate
   demuxer.
 
-Formats whose codecs genuinely cannot be reimplemented here
-(JPEG/MP3/MP4 — DCT/entropy coders) need PIL/ffmpeg/torchaudio, which
-are NOT in this container: ``mode="real"`` raises NotImplementedError
-for those mimes with the integration point documented. ``mode="fake"``
-(hash-derived features) remains for payload-agnostic plumbing tests.
+Formats whose codecs remain out of reach here (MP3/MP4 — psychoacoustic
+/ inter-frame coders) need ffmpeg/torchaudio, which are NOT in this
+container: ``mode="real"`` raises NotImplementedError for those mimes
+with the integration point documented. ``mode="fake"`` (hash-derived
+features) remains for payload-agnostic plumbing tests.
 """
 
 from __future__ import annotations
@@ -308,11 +311,20 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 mime = _MIMES[kind]
                 if kind == "image":
                     pixels = _image_pixels(seed, i, width, height)
-                    # alternate BMP/PNG so BOTH real image codecs flow
-                    # through the pipeline; pixel content (and thus
-                    # every feature) is identical either way
-                    if (i // 3) % 2 == 1:
+                    # rotate BMP/PNG/JPEG so ALL THREE real image
+                    # codecs flow through the pipeline; f0 (width) and
+                    # the dims are codec-independent, so the profile
+                    # aggregates are stable even though JPEG is lossy
+                    rot = (i // 3) % 3
+                    if rot == 1:
                         payload, mime = encode_png(pixels), "image/png"
+                    elif rot == 2:
+                        from textcleaning_spark.multimodal.jpeg import encode_jpeg
+
+                        payload, mime = (
+                            encode_jpeg(pixels, quality=90),
+                            "image/jpeg",
+                        )
                     else:
                         payload = encode_bmp(pixels)
                 elif kind == "audio":
@@ -343,7 +355,9 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
-_DECODABLE = {"image/bmp", "image/png", "audio/wav", "video/x-raw-frames"}
+_DECODABLE = {
+    "image/bmp", "image/png", "image/jpeg", "audio/wav", "video/x-raw-frames",
+}
 
 
 def _fake_features(payload: bytes) -> list[float]:
@@ -352,8 +366,8 @@ def _fake_features(payload: bytes) -> list[float]:
 
 
 def _real_features(payload: bytes, mime: str) -> list[float]:
-    if mime in ("image/bmp", "image/png"):
-        rgb = decode_bmp(payload) if mime == "image/bmp" else decode_png(payload)
+    if mime in ("image/bmp", "image/png", "image/jpeg"):
+        rgb = _decode_image(payload, mime)
         h, w, _ = rgb.shape
         gray = rgb.astype(np.float64).mean(axis=-1)
         f = [w, h, rgb[..., 0].mean(), rgb[..., 1].mean(),
@@ -372,12 +386,22 @@ def _real_features(payload: bytes, mime: str) -> list[float]:
              float(first.std()), 0.0, 0.0, 3.0]
     else:
         raise NotImplementedError(
-            f"format {mime!r} needs PIL/ffmpeg/torchaudio (DCT/entropy "
-            "codecs are not reimplementable here); plug the codec in "
-            "here — the Spark plumbing (schema, batching, partitioning) "
-            "is identical for the formats already handled"
+            f"format {mime!r} needs ffmpeg/torchaudio (psychoacoustic / "
+            "inter-frame codecs are not reimplementable here); plug the "
+            "codec in here — the Spark plumbing (schema, batching, "
+            "partitioning) is identical for the formats already handled"
         )
     return [round(float(v), 6) for v in f]
+
+
+def _decode_image(payload: bytes, mime: str) -> np.ndarray:
+    if mime == "image/bmp":
+        return decode_bmp(payload)
+    if mime == "image/png":
+        return decode_png(payload)
+    from textcleaning_spark.multimodal.jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
 
 
 def extract_features(df: DataFrame, mode: str = "real") -> DataFrame:
@@ -450,19 +474,25 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, mode: str = "real") -> Da
 
 
 def resize_bmp(p: bytes, mime: str, width: int, height: int) -> bytes:
-    """True nearest-neighbor resample of a BMP or PNG payload (numpy
-    index gather), re-encoded in the same format; JPEG raises (PIL
-    integration point)."""
-    if mime not in ("image/bmp", "image/png"):
+    """True nearest-neighbor resample of a BMP/PNG/JPEG payload (numpy
+    index gather), re-encoded in the same format (JPEG at quality 90);
+    other mimes raise (PIL integration point)."""
+    if mime not in ("image/bmp", "image/png", "image/jpeg"):
         raise NotImplementedError(
             f"resizing {mime!r} needs PIL (not in this container)"
         )
-    rgb = decode_bmp(p) if mime == "image/bmp" else decode_png(p)
+    rgb = _decode_image(p, mime)
     h, w, _ = rgb.shape
     yi = (np.arange(height) * h // height).clip(0, h - 1)
     xi = (np.arange(width) * w // width).clip(0, w - 1)
     out = rgb[yi[:, None], xi[None, :]]
-    return encode_bmp(out) if mime == "image/bmp" else encode_png(out)
+    if mime == "image/bmp":
+        return encode_bmp(out)
+    if mime == "image/png":
+        return encode_png(out)
+    from textcleaning_spark.multimodal.jpeg import encode_jpeg
+
+    return encode_jpeg(out, quality=90)
 
 
 def resize_images(df: DataFrame, width: int, height: int, mode: str = "real") -> DataFrame:

@@ -2585,11 +2585,11 @@ def char_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def media_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → mapInPandas REAL decode (pure-numpy BMP /
-    PNG (zlib inflate + scanline unfilter) / PCM-WAV / raw-frames
-    codecs, multimodal/media.py) → feature kernel → per-kind profile;
-    generated images alternate BMP/PNG so both codecs flow through.
-    DCT/entropy formats (JPEG/MP4) remain the documented PIL/ffmpeg
-    integration point.
+    PNG (zlib inflate + scanline unfilter) / baseline JPEG (Annex K
+    Huffman + IDCT, multimodal/jpeg.py) / PCM-WAV / raw-frames codecs)
+    → feature kernel → per-kind profile; generated images rotate
+    BMP/PNG/JPEG so all three codecs flow through. MP4/MP3 remain the
+    documented ffmpeg integration point.
 
     The codec invariants are asserted IN-QUERY (the ann_recall gate
     pattern): every feature vector must be exactly 8-dim, each kind
