@@ -1,8 +1,10 @@
 """Benchmark harness.
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line:
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` — in fresh-JVM
+groups of ``$BENCH_GROUP_SIZE`` (default 15; 0 = one session) so
+late-session JIT/GC pressure can't skew per-query numbers across
+rounds — and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": ...,
@@ -100,12 +102,12 @@ def _consume(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or df.count()
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     qs = Q.queries()
     # warmup: JVM/codegen/noop-sink initialization outside any timing
     spark.range(1000).write.format("noop").mode("overwrite").save()
     out: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names if names is not None else HEADLINE:
         fn = qs[name]
         # steady state per query: first run compiles that plan's
         # whole-stage codegen (JIT, driver-side only); timed runs
@@ -173,17 +175,71 @@ def pipeline_throughput(spark, n_docs: int, parallelism: int) -> dict:
         return timed_pipeline(spark, src, n_docs)
 
 
-def run_bench(sf_dir: str, cpus: int | str) -> dict:
+# Queries per fresh JVM (0 = everything in one session). A 60-query
+# session accumulates JIT/code-cache/GC pressure that lands on whichever
+# queries run LAST — round 3's cross-round per-query comparison was
+# dominated by exactly that, not by plan changes. Bounded groups keep
+# per-query numbers comparable across rounds as the registry grows.
+BENCH_GROUP_SIZE = int(os.environ.get("BENCH_GROUP_SIZE", "15"))
+
+
+def _bench_group(sf_dir: str, cpus, names: list[str]) -> None:
+    """Subprocess entry: time one group of headline queries in a fresh
+    JVM and print them as a marker line for the parent to collect."""
     spark = get_spark("bench", cores=cpus)
+    try:
+        out = run_queries(spark, sf_dir, names)
+    finally:
+        spark.stop()
+    print("BENCH_GROUP_JSON " + json.dumps(out))
+
+
+def _run_grouped_queries(sf_dir: str, cpus) -> dict[str, float]:
+    import subprocess
+
+    queries: dict[str, float] = {}
+    for gi in range(0, len(HEADLINE), BENCH_GROUP_SIZE):
+        group = HEADLINE[gi : gi + BENCH_GROUP_SIZE]
+        code = (
+            "import sys; sys.path.insert(0, %r); "
+            "from bench import _bench_group; _bench_group(%r, %r, %r)"
+            % (REPO, sf_dir, cpus, group)
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = [
+            l for l in out.stdout.splitlines()
+            if l.startswith("BENCH_GROUP_JSON ")
+        ]
+        if not line:
+            raise RuntimeError(
+                f"bench group {group[0]}.. failed:\n{out.stderr[-2000:]}"
+            )
+        queries.update(json.loads(line[0].split(" ", 1)[1]))
+    return queries
+
+
+def run_bench(sf_dir: str, cpus: int | str) -> dict:
     try:
         n_cores = int(cpus)
     except (TypeError, ValueError):
         n_cores = os.cpu_count() or 8
-    try:
-        queries = run_queries(spark, sf_dir)
-        pipe = pipeline_throughput(spark, PIPELINE_DOCS, n_cores)
-    finally:
-        spark.stop()
+    if BENCH_GROUP_SIZE > 0:
+        queries = _run_grouped_queries(sf_dir, cpus)
+        spark = get_spark("bench", cores=cpus)
+        try:
+            pipe = pipeline_throughput(spark, PIPELINE_DOCS, n_cores)
+        finally:
+            spark.stop()
+    else:
+        spark = get_spark("bench", cores=cpus)
+        try:
+            queries = run_queries(spark, sf_dir)
+            pipe = pipeline_throughput(spark, PIPELINE_DOCS, n_cores)
+        finally:
+            spark.stop()
     total = round(sum(queries.values()), 3)
     return {
         "metric": "headline_queries_total",
