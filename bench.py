@@ -92,6 +92,7 @@ HEADLINE = [
     "nation_market_share",
     "host_keep_profile",
     "vocab_growth_curve",
+    "incremental_crawl_dedup",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

@@ -58,13 +58,14 @@ MUST_BE_IN_WINDOW = [
     "embedding_near_dup_fast",
     # new in round 4
     "ppl_cutoff_routing",
+    "incremental_crawl_dedup",
 ]
 
 
 def test_registry_size():
     # The rotation comment in queries.py reasons about window budgets
     # from this number — pin it so the comment can't drift (ADVICE r3).
-    assert len(Q.queries()) == 89
+    assert len(Q.queries()) == 90
 
 
 def test_unverified_queries_inside_driver_window():

@@ -189,6 +189,71 @@ def test_ppjoin_shingle_pairs_equal_naive(spark):
     assert len(want) >= 2  # the corpus really contains near-dup pairs
 
 
+def test_ppjoin_rs_equals_naive_cross_pairs(spark):
+    """ppjoin_pairs_rs must return exactly the cross-corpus pairs the
+    naive shared-shingle join finds (never left×left or right×right),
+    and its candidate space must stay empty under a boilerplate
+    shingle shared by EVERY doc on both sides."""
+    from textcleaning_spark.operators.dedup import ppjoin_pairs_rs
+
+    base = "the quick brown fox jumps over the lazy dog near the old mill"
+    left_rows = [
+        (101, base),                          # near-dups 0 and 2 on the right
+        (103, base + " tonight and tomorrow"),
+        (105, "completely different snapshot content body here now indeed"),
+    ]
+    right_rows = [
+        (0, base),
+        (2, base + " tonight"),
+        (4, "unrelated corpus page about spark shuffle partitions today"),
+        # same text as LEFT 105: a left-left/right-right leak would
+        # surface as a (105, 105)-style pair — there is no such id pair,
+        # but an identical-text pair across sides must be found
+        (6, "completely different snapshot content body here now indeed"),
+    ]
+    left = _shingle_sets(
+        spark.createDataFrame(left_rows, "doc: long, text: string")
+    )
+    right = _shingle_sets(
+        spark.createDataFrame(right_rows, "doc: long, text: string")
+    )
+    got = _sorted_rows(ppjoin_pairs_rs(left, right, "doc", "toks", 0.5))
+
+    lx = left.select(F.col("doc").alias("dl"), F.explode("toks").alias("s"))
+    lsz = left.select(F.col("doc").alias("dl"), F.size("toks").alias("szl"))
+    rx = right.select(F.col("doc").alias("dr"), F.explode("toks").alias("s"))
+    rsz = right.select(F.col("doc").alias("dr"), F.size("toks").alias("szr"))
+    common = (
+        lx.join(rx, "s").groupBy("dl", "dr").agg(F.count(F.lit(1)).alias("c"))
+        .join(lsz, "dl").join(rsz, "dr")
+    )
+    jac = F.col("c").cast("double") / (F.col("szl") + F.col("szr") - F.col("c"))
+    want = _sorted_rows(
+        common.filter(jac >= 0.5).select(
+            F.col("dl").alias("doc_l"),
+            F.col("dr").alias("doc_r"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+    assert got == want
+    assert len(want) >= 3  # (101,0), (101,2)/(103,...), (105,6)
+    # exact cross-side copy found with jaccard 1.0
+    assert any(r[0] == 105 and r[1] == 6 and r[2] == 1.0 for r in got)
+
+    # hot shingle on BOTH sides, otherwise disjoint → zero pairs, and
+    # the df-asc prefix order keeps the hot shingles out of every prefix
+    n = 60
+    hot_l = _shingle_sets(spark.createDataFrame(
+        [(100 + i, f"subscribe to our newsletter today l{i} m{i} n{i} o{i} p{i} q{i}") for i in range(n)],
+        "doc: long, text: string",
+    ))
+    hot_r = _shingle_sets(spark.createDataFrame(
+        [(i, f"subscribe to our newsletter today r{i} s{i} t{i} u{i} v{i} w{i}") for i in range(n)],
+        "doc: long, text: string",
+    ))
+    assert ppjoin_pairs_rs(hot_l, hot_r, "doc", "toks", 0.5).count() == 0
+
+
 def test_cooccurrence_hot_key_guard_default_on(spark):
     """One word shared by EVERY actor is the co-occurrence blowup: the
     self-join pays k·(k-1) pairs for that single (ts, word) key. The

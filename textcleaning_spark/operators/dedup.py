@@ -124,6 +124,34 @@ def lsh_candidate_pairs(
     )
 
 
+def _explode_sets(tok_sets: DataFrame) -> DataFrame:
+    """(doc, toks, sz) → one row per element. explode_outer + null
+    filter, NOT plain explode: the optimizer infers ``size(toks) > 0``
+    from a non-outer Generate and pushes it below the Project,
+    re-inlining the set-building expression so it runs twice per row
+    (see winnow_fingerprints note)."""
+    return (
+        tok_sets.select("doc", "sz", F.explode_outer("toks").alias("word"))
+        .filter(F.col("word").isNotNull())
+    )
+
+
+def _prefix_frame(tok: DataFrame, freq: DataFrame, t_dec) -> DataFrame:
+    """PPJoin prefix: each doc keeps its first ``sz - ceil(t·sz) + 1``
+    elements under the global (df asc, element asc) order — the RAREST
+    elements, so hot elements never enter a prefix."""
+    w = Window.partitionBy("doc").orderBy("df", "word")
+    return (
+        tok.join(freq, "word")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(t_dec * F.col("sz")).cast("int") + 1
+        )
+        .select("doc", "word", "sz")
+    )
+
+
 def _ppjoin_candidates(tok_sets: DataFrame, t_dec) -> DataFrame:
     """PPJoin candidate pairs over ``(doc, toks, sz)`` element sets.
 
@@ -141,25 +169,9 @@ def _ppjoin_candidates(tok_sets: DataFrame, t_dec) -> DataFrame:
     bounded on adversarial corpora (tests/test_skew.py hot-shingle
     case: naive pair space O(N²), candidates here 0).
     """
-    # explode_outer + null filter: a plain explode of the materialized
-    # column makes the optimizer infer `size(toks) > 0` and push it
-    # below the Project, re-inlining the set-building expression so it
-    # runs twice per row (see winnow_fingerprints note).
-    tok = (
-        tok_sets.select("doc", "sz", F.explode_outer("toks").alias("word"))
-        .filter(F.col("word").isNotNull())
-    )
+    tok = _explode_sets(tok_sets)
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc").orderBy("df", "word")
-    prefix = (
-        tok.join(freq, "word")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(
-            F.col("rn")
-            <= F.col("sz") - F.ceil(t_dec * F.col("sz")).cast("int") + 1
-        )
-        .select("doc", "word", "sz")
-    )
+    prefix = _prefix_frame(tok, freq, t_dec)
     # length filter (also lossless): |A∩B| ≤ min(|A|,|B|) and Jaccard
     # ≥ t force t·|A| ≤ |B| and t·|B| ≤ |A| — near-equal set sizes.
     # On corpora where the prefix tokens are not discriminative (tiny
@@ -234,6 +246,84 @@ def ppjoin_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ppjoin_pairs_rs(
+    left: DataFrame,
+    right: DataFrame,
+    doc_col: str,
+    set_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Cross-corpus (R-S) exact Jaccard ≥ threshold: pairs
+    ``(doc_l, doc_r)`` with doc_l from ``left`` and doc_r from
+    ``right`` only — never left×left or right×right.
+
+    This is the incremental-crawl shape: ``left`` = the new snapshot,
+    ``right`` = the seen corpus; each new document is checked against
+    the corpus without re-pairing the corpus with itself. The prefix
+    bound is the same lossless PPJoin argument as the self-join form —
+    it needs one GLOBAL total element order shared by both sides, so
+    document frequency is computed over the UNION (keeping prefixes
+    rare-first on the combined distribution); candidates come from
+    prefix(left) ⋈ prefix(right) plus the two-sided length bounds, and
+    exact Jaccard over the full arrays decides each candidate.
+    """
+    from decimal import Decimal
+
+    t_dec = F.lit(Decimal(str(threshold)))
+    tl = (
+        left.select(F.col(doc_col).alias("doc"), F.col(set_col).alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .localCheckpoint(eager=False)
+    )
+    tr = (
+        right.select(F.col(doc_col).alias("doc"), F.col(set_col).alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .localCheckpoint(eager=False)
+    )
+    tok_l, tok_r = _explode_sets(tl), _explode_sets(tr)
+    freq = (
+        tok_l.select("word")
+        .unionAll(tok_r.select("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    pl = _prefix_frame(tok_l, freq, t_dec)
+    pr = _prefix_frame(tok_r, freq, t_dec)
+    cand = (
+        pl.alias("pa")
+        .join(
+            pr.alias("pb"),
+            (F.col("pa.word") == F.col("pb.word"))
+            & (F.col("pb.sz") >= t_dec * F.col("pa.sz"))
+            & (F.col("pa.sz") >= t_dec * F.col("pb.sz")),
+        )
+        .select(F.col("pa.doc").alias("doc_l"), F.col("pb.doc").alias("doc_r"))
+        .distinct()
+    )
+    a = tl.select(
+        F.col("doc").alias("doc_l"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = tr.select(
+        F.col("doc").alias("doc_r"),
+        F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        cand.join(a, "doc_l")
+        .join(b, "doc_r")
+        .withColumn("common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_l", "doc_r", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

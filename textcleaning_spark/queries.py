@@ -100,6 +100,7 @@ _WINDOW_FRONT = [
     "embedding_near_dup_fast",
     # new in round 4 — need their first driver row
     "ppl_cutoff_routing",
+    "incremental_crawl_dedup",
 ]
 _WINDOW_BACK = [
     # the 38 entries driver-verified green in CORRECTNESS_r03
@@ -1905,6 +1906,27 @@ def asof_event_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 34. 3-gram shingle near-dup pairs (the n-gram variant of Jaccard)
 # ---------------------------------------------------------------------------
+def _doc_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc, __sh): distinct word-3-gram shingle set per document.
+
+    The token array is materialized ONCE into a column before the
+    shingle expression references it four times — CollapseProject
+    would otherwise inline four copies of the split (the CLAUDE.md
+    pipeline-shape rule; measured ~3× on shingle_near_dup)."""
+    toked = docs.select(F.col("doc_id").alias("doc"), T.tokens("text").alias("__toks"))
+    toks = F.col("__toks")
+    shingles = F.array_distinct(
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    return toked.select("doc", shingles.alias("__sh"))
+
+
 @register(
     "shingle_near_dup",
     f"""
@@ -1941,28 +1963,11 @@ def shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a crawl would make the naive join O(k²) in that single key. Under
     the (df asc, shingle asc) prefix order the hot shingles sort LAST
     and never enter a prefix (tests/test_skew.py pins candidates = 0
-    on a corpus where every doc shares a boilerplate sentence).
-
-    The token array is materialized ONCE into a column before the
-    shingle expression references it four times — CollapseProject
-    would otherwise inline four copies of the split (the CLAUDE.md
-    pipeline-shape rule; measured ~3× on this query)."""
+    on a corpus where every doc shares a boilerplate sentence)."""
     from textcleaning_spark.operators.dedup import ppjoin_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select(F.col("doc_id").alias("doc"), T.tokens("text").alias("__toks"))
-    toks = F.col("__toks")
-    shingles = F.array_distinct(
-        F.when(
-            F.size(toks) >= 3,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
-    sets = toked.select("doc", shingles.alias("__sh"))
-    return ppjoin_pairs(sets, "doc", "__sh", 0.5)
+    return ppjoin_pairs(_doc_shingle_sets(docs), "doc", "__sh", 0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -3647,6 +3652,102 @@ def dedup_keep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         cluster.cast("bigint").alias("cluster_id"),
         (cluster == F.col("doc_id")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 62b. Incremental crawl dedup (new snapshot vs seen corpus, R-S PPJoin)
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_crawl_dedup",
+    f"""
+    WITH sh AS (
+        SELECT doc_id AS doc,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len({_TOK}) - 1, 1)),
+                   i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')
+               ))) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM sh GROUP BY doc),
+    cross_common AS (
+        SELECT n.doc AS doc_n, o.doc AS doc_o, count(*)::BIGINT AS common
+        FROM sh n JOIN sh o ON n.shingle = o.shingle
+        WHERE n.doc % 2 = 1 AND o.doc % 2 = 0
+        GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT DISTINCT doc_n
+        FROM cross_common
+        JOIN sizes sn ON sn.doc = doc_n
+        JOIN sizes so ON so.doc = doc_o
+        WHERE common::DOUBLE / (sn.sz + so.sz - common) >= 0.5
+    ),
+    old_hashes AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT d.doc_id::BIGINT AS doc_id,
+           (oh.h IS NOT NULL) AS exact_dup,
+           (nr.doc_n IS NOT NULL) AS near_dup,
+           (oh.h IS NULL AND nr.doc_n IS NULL) AS keep
+    FROM documents d
+    LEFT JOIN old_hashes oh ON md5(d.text) = oh.h
+    LEFT JOIN near nr ON nr.doc_n = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+)
+def incremental_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-snapshot dedup against the ALREADY-SEEN corpus — what a
+    recurring crawl ingest actually runs: each new document is dropped
+    if it exactly matches (content hash) or nearly matches (3-gram
+    shingle Jaccard ≥ 0.5) ANY corpus document; the corpus is never
+    re-paired with itself. Even/odd doc_id stands in for the
+    corpus/snapshot split so the oracle sees the same deterministic
+    partition.
+
+    Scale shape: the exact leg joins on md5 computed scan-side (the
+    text never shuffles); the near leg routes through the R-S PPJoin
+    (operators/dedup.ppjoin_pairs_rs) — prefix(new) ⋈ prefix(corpus)
+    under one global (df asc) element order, so hot boilerplate
+    shingles never generate candidates and the join is new×matching,
+    not corpus×corpus. Both flag frames carry only ids/hashes, so the
+    back-joins onto the snapshot are id-sized.
+
+    Reference analogue: the reference's per-document set() membership
+    (text_process.py A5) generalized to cross-snapshot identity."""
+    from textcleaning_spark.operators.dedup import ppjoin_pairs_rs, text_hash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    old_hashes = (
+        old.select(text_hash(F.col("text")).alias("h"))
+        .distinct()
+        .withColumn("__exact", F.lit(1))
+    )
+    new_hashed = new.select("doc_id", text_hash(F.col("text")).alias("h"))
+
+    near_ids = (
+        ppjoin_pairs_rs(
+            _doc_shingle_sets(new), _doc_shingle_sets(old), "doc", "__sh", 0.5
+        )
+        .select(F.col("doc_l").alias("doc_id"))
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+
+    flagged = (
+        new_hashed.join(old_hashes, "h", "left")
+        .join(near_ids, "doc_id", "left")
+    )
+    exact_dup = F.col("__exact").isNotNull()
+    near_dup = F.col("__near").isNotNull()
+    return flagged.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        exact_dup.alias("exact_dup"),
+        near_dup.alias("near_dup"),
+        (~exact_dup & ~near_dup).alias("keep"),
     )
 
 
