@@ -320,3 +320,29 @@ def test_decontam_broadcast_by_stats_not_forced(spark):
     p = plan_str(df)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_url_dedup_partial_topk_no_window(spark):
+    """url_dedup's keep-latest must be a min_by aggregate with a real
+    map-side PARTIAL phase (each partition reduces to one candidate
+    per canonical url before the exchange) — not a window row_number,
+    which has no partial and would shuffle the whole pages frame
+    (ADVICE r3)."""
+    from textcleaning_spark.operators.dedup import url_dedup
+
+    p = plan_str(url_dedup(generate_pages(spark, 200, seed=5)))
+    assert "Window" not in p, p
+    assert "partial_min_by" in p, p
+    assert p.count("min_by") >= 2  # partial + final phases
+
+
+def test_incremental_crawl_dedup_bounded_and_hash_keyed(spark):
+    """The cross-snapshot verdict: the exact leg joins on the md5
+    column (raw text never becomes a join key), and the only window
+    operators are the PPJoin prefix rankings — partitioned per
+    DOCUMENT (bounded partitions), never corpus-global or per-lang."""
+    p = plan_str(Q.queries()["incremental_crawl_dedup"](spark, SF_ORACLE))
+    windows = [l for l in p.splitlines() if "Window" in l and "windowspecdef" not in l]
+    for w in windows:
+        assert "doc#" in w, w  # per-document partitioning only
+    assert "md5" in p  # exact leg keyed on the hash, not the text
