@@ -80,3 +80,50 @@ def test_langid_total_function(t):
     """Language ID never raises and always returns a known label."""
     lang = predict_lang_py(t)
     assert isinstance(lang, str) and lang != ""
+
+
+# ---------------------------------------------------------------------------
+# PPJoin prefix + length bounds (operators/dedup.py) — the losslessness
+# claim, pinned over random set corpora and thresholds. The Spark side
+# uses EXACTLY these formulas (rn <= sz - ceil(t*sz) + 1 under the
+# (df asc, element asc) order; t*sz_a <= sz_b length bound) with t as a
+# Decimal literal; a counterexample here would be a silently dropped
+# near-dup pair at 100 TB.
+# ---------------------------------------------------------------------------
+_sets_strategy = st.lists(
+    st.frozensets(st.integers(0, 25), min_size=1, max_size=12),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_sets_strategy, st.sampled_from(["0.5", "0.6", "0.75", "0.8", "0.9", "0.96", "1.0"]))
+def test_ppjoin_bounds_lossless(sets, t_str):
+    """Every pair with Jaccard >= t (exact rational compare) must pass
+    the length bound AND share at least one element inside both
+    prefixes — for any document-frequency distribution the corpus
+    induces, including ties."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+    from fractions import Fraction
+
+    t = Decimal(t_str)
+    t_frac = Fraction(t)
+    df = Counter(e for s in sets for e in s)
+
+    def prefix(s):
+        sz = len(s)
+        plen = sz - math.ceil(t * sz) + 1
+        return set(sorted(s, key=lambda e: (df[e], e))[:plen])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            jac = Fraction(len(a & b), len(a | b))
+            if jac < t_frac:
+                continue
+            sza, szb = len(a), len(b)
+            assert Decimal(szb) >= t * sza and Decimal(sza) >= t * szb
+            assert prefix(a) & prefix(b), (sorted(a), sorted(b), t_str)
