@@ -49,10 +49,18 @@ def exact_duplicates(df: DataFrame, doc_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(df: DataFrame, doc_col: str, text_col: str, k: int = 8) -> DataFrame:
+def minhash_signature(
+    df: DataFrame,
+    doc_col: str,
+    text_col: str,
+    k: int = 8,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """k-permutation MinHash over the distinct-token set, as native
     expressions: permutation i = md5("<i>|" + token), signature =
     lexicographic min. Deterministic and engine-portable (md5 is md5).
+    ``keep_cols`` pass through untouched (streaming callers can't join
+    the signature frame back — that would be a stream-stream join).
     """
     toks = F.array_distinct(tokens(text_col))
     sig_cols = [
@@ -61,7 +69,7 @@ def minhash_signature(df: DataFrame, doc_col: str, text_col: str, k: int = 8) ->
         ).alias(f"sig_{i}")
         for i in range(k)
     ]
-    return df.select(F.col(doc_col), *sig_cols)
+    return df.select(F.col(doc_col), *[F.col(c) for c in keep_cols], *sig_cols)
 
 
 def minhash_signature_sql(text_col: str, k: int = 8) -> list[str]:
