@@ -271,45 +271,66 @@ def run_scaling(sf_dir: str, out_md: str) -> None:
     # cpu sets: the 8-core run stays off core 0 (it absorbs host/IRQ
     # noise, which would inflate T_8 and flatter the efficiency number)
     cpu_sets = {8: "24-31", 32: "0-31"}
-    results = {}
-    try:
-        for cores in (8, 32):
-            code = (
-                "import sys, json; sys.path.insert(0, %r); "
-                "from bench import timed_pipeline; "
-                "from textcleaning_spark.session import get_spark; "
-                "s = get_spark('scaling', cores=%d); "
-                "r = timed_pipeline(s, %r, %d, iterations=5, warmups=2); "
-                "s.stop(); "
-                "print('SCALING_JSON ' + json.dumps(r))"
-                % (REPO, cores, src, SCALING_DOCS)
+
+    def one_run(cores: int) -> dict:
+        code = (
+            "import sys, json; sys.path.insert(0, %r); "
+            "from bench import timed_pipeline; "
+            "from textcleaning_spark.session import get_spark; "
+            "s = get_spark('scaling', cores=%d); "
+            "r = timed_pipeline(s, %r, %d, iterations=5, warmups=2); "
+            "s.stop(); "
+            "print('SCALING_JSON ' + json.dumps(r))"
+            % (REPO, cores, src, SCALING_DOCS)
+        )
+        # pin the WHOLE process tree (JVM task threads + Python UDF
+        # workers) to exactly `cores` CPUs — without this, a local[8]
+        # JVM offloads its Python workers onto the other 24 cores and
+        # the "8-core" run silently uses ~16.
+        out = subprocess.run(
+            ["taskset", "-c", cpu_sets[cores], sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = [
+            l for l in out.stdout.splitlines()
+            if l.startswith("SCALING_JSON ")
+        ]
+        if not line:
+            raise RuntimeError(
+                f"scaling run at {cores} cores failed:\n{out.stderr[-2000:]}"
             )
-            # pin the WHOLE process tree (JVM task threads + Python UDF
-            # workers) to exactly `cores` CPUs — without this, a
-            # local[8] JVM offloads its Python workers onto the other
-            # 24 cores and the "8-core" run silently uses ~16.
-            # Two independent process attempts, best-of, to damp VM noise.
-            attempts = []
-            for _ in range(int(__import__('os').environ.get('BENCH_SCALING_ATTEMPTS', '2'))):
-                out = subprocess.run(
-                    ["taskset", "-c", cpu_sets[cores], sys.executable, "-c", code],
-                    capture_output=True, text=True, timeout=1800,
-                )
-                line = [
-                    l for l in out.stdout.splitlines()
-                    if l.startswith("SCALING_JSON ")
-                ]
-                if not line:
-                    raise RuntimeError(
-                        f"scaling run at {cores} cores failed:\n{out.stderr[-2000:]}"
-                    )
-                attempts.append(json.loads(line[0].split(" ", 1)[1]))
-            results[cores] = min(attempts, key=lambda r: r["sec"])
+        return json.loads(line[0].split(" ", 1)[1])
+
+    # PAIRED attempts, 8-core and 32-core back-to-back: this VM's
+    # ambient throughput drifts ±15-40% over minutes, so running all
+    # N-core attempts then all 4N-core attempts (the old layout) puts
+    # the drift directly into the ratio — measured swings of t8
+    # 45→68 s on IDENTICAL code within one session. Efficiency is
+    # computed per adjacent pair (both legs inside one drift window)
+    # and summarized as the MEDIAN pair, the same robustness argument
+    # as the median-of-5 reps inside each leg.
+    pairs: list[dict] = []
+    try:
+        n_attempts = int(os.environ.get("BENCH_SCALING_ATTEMPTS", "2"))
+        for _ in range(max(n_attempts, 1)):
+            r8 = one_run(8)
+            r32 = one_run(32)
+            pairs.append(
+                {"r8": r8, "r32": r32,
+                 "eff": (r8["sec"] / r32["sec"]) / 4.0}
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    pairs.sort(key=lambda p: p["eff"])
+    mid = pairs[(len(pairs) - 1) // 2]
+    results = {8: mid["r8"], 32: mid["r32"]}
     t8, t32 = results[8]["sec"], results[32]["sec"]
-    eff = (t8 / t32) / 4.0
+    eff = mid["eff"]
+    pair_lines = "".join(
+        f"| {i + 1} | {p['r8']['sec']} | {p['r32']['sec']} | {p['eff']:.3f} |\n"
+        for i, p in enumerate(sorted(pairs, key=lambda p: p["r8"]["sec"]))
+    )
     os.makedirs(os.path.dirname(out_md), exist_ok=True)
     with open(out_md, "w") as f:
         f.write(
@@ -323,8 +344,18 @@ def run_scaling(sf_dir: str, out_md: str) -> None:
             f"| 32 (4N) | {t32} | {results[32]['docs_per_sec']} |\n\n"
             f"**Speedup 8→32:** {t8 / t32:.2f}×  \n"
             f"**Scaling efficiency:** (T_8/T_32)/4 = **{eff:.3f}** "
-            f"(target ≥ 0.8)\n\n"
+            f"(target ≥ 0.8; median of {len(pairs)} paired attempts)\n\n"
+            "All paired attempts (each pair = one 8-core + one 32-core\n"
+            "run back-to-back inside one ambient-drift window):\n\n"
+            "| pair | t8 | t32 | efficiency |\n|---|---|---|---|\n"
+            f"{pair_lines}\n"
             "## Methodology\n\n"
+            "- Attempts are PAIRED in time (8-core leg immediately\n"
+            "  followed by its 32-core leg): this VM's ambient\n"
+            "  throughput drifts ±15-40% over minutes (t8 measured\n"
+            "  45→68 s on identical code in one session), and the old\n"
+            "  all-N-then-all-4N layout put that drift straight into\n"
+            "  the ratio. The reported number is the MEDIAN pair.\n"
             "- Each level runs in a fresh JVM pinned with `taskset -c` to\n"
             "  exactly N CPUs — pinning covers JVM task threads AND Python\n"
             "  UDF workers (unpinned, a local[8] JVM silently offloads its\n"
