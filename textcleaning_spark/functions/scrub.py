@@ -23,15 +23,34 @@ def _toxic_pattern(term: str) -> str:
     return rf"\b{re.escape(term)}\b"
 
 
+def _combined_pattern(cfg: ScrubConfig) -> str:
+    """Alternation of every rule + toxic pattern (detection only)."""
+    pats = [pat for _name, pat, _rep in cfg.rules]
+    pats += [_toxic_pattern(t) for t in cfg.toxic_terms]
+    return "|".join(f"(?:{p})" for p in pats)
+
+
 def scrub_col(col: Column, cfg: ScrubConfig | None = None) -> Column:
-    """Apply the full ordered scrub chain as native expressions."""
+    """Apply the full ordered scrub chain as native expressions.
+
+    The chain is GATED on one ``rlike`` over the alternation of all
+    rule patterns: a document that matches no rule returns the input
+    column untouched (byte-identical by construction — each
+    ``regexp_replace`` with zero matches is already the identity, so
+    the gate changes no value). On web corpora the overwhelming
+    majority of documents carry no PII/toxic span, and ungated they
+    still paid N_rules full-document copies per row — the hot path is
+    allocation-bound at 32 threads, and ``rlike`` stops at the first
+    match without materializing anything. Callers pass a plain column
+    reference, so its three appearances here cost nothing.
+    """
     cfg = cfg or ScrubConfig()
     out = col
     for _name, pat, rep in cfg.rules:
         out = F.regexp_replace(out, pat, rep)
     for term in cfg.toxic_terms:
         out = F.regexp_replace(out, _toxic_pattern(term), cfg.toxic_replacement)
-    return out
+    return F.when(col.rlike(_combined_pattern(cfg)), out).otherwise(col)
 
 
 def scrub_py(text: str, cfg: ScrubConfig | None = None) -> str:
