@@ -372,6 +372,7 @@ def run_scaling(sf_dir: str, out_md: str) -> None:
 
     lv416, lv832 = levels
     eff = lv416["mid"]["eff"]          # unsaturated N→4N headline
+    eff_min = min(p["eff"] for p in lv416["pairs"])
     t8 = lv832["mid"]["tn"]
     t32 = lv832["mid"]["tn4"]
     eff832 = lv832["mid"]["eff"]
@@ -396,11 +397,22 @@ def run_scaling(sf_dir: str, out_md: str) -> None:
             f"| **{eff:.3f}** |\n"
             f"| 8 → 32 cores (whole box) | {t8} | {t32} "
             f"| {t8 / t32:.2f}× | {eff832:.3f} |\n\n"
-            f"**Scaling efficiency (N→4N, unsaturated): {eff:.3f}** "
-            "(target ≥ 0.8; median rep-interleaved pair at 4→16).\n"
+            f"**Scaling efficiency (N→4N, unsaturated): {eff:.3f} median, "
+            f"{eff_min:.3f} minimum pair** (target ≥ 0.8; every "
+            f"rep-interleaved pair at 4→16 is reported below).\n"
             f"Pipeline throughput at 32 cores: "
             f"{round(SCALING_DOCS / t32, 1)} docs/s "
             f"({SCALING_DOCS} docs in {t32} s).\n\n"
+            "A median above 1.0 is a real local-mode effect, not one-sided\n"
+            "noise: a Spark JVM carries per-PROCESS fixed work (driver +\n"
+            "scheduler threads, G1 concurrent GC workers, Py4J, the Python\n"
+            "UDF worker pool) that competes with task threads for the same\n"
+            "pinned CPUs, and at 4 cores that overhead is a far larger\n"
+            "fraction of the budget than at 16. On a real cluster the N-\n"
+            "and 4N-executor fleets pay identical per-node overheads, so\n"
+            "the cluster-faithful expectation sits between the superlinear\n"
+            "4→16 reading and the ceiling-depressed 8→32 reading; the\n"
+            "gate-relevant fact is the worst unsaturated pair.\n\n"
             "The 4→16 pair is the faithful N- vs 4N-executor proxy: both\n"
             "legs leave the box unsaturated, as real cluster nodes are\n"
             "(4N executors bring 4× memory bandwidth and their own GC).\n"
@@ -465,6 +477,7 @@ def run_scaling(sf_dir: str, out_md: str) -> None:
         )
     print(json.dumps({
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_min_pair": round(eff_min, 3),
         "t4": lv416["mid"]["tn"], "t16": lv416["mid"]["tn4"],
         "scaling_efficiency_8_32": round(eff832, 3),
         "t8": t8, "t32": t32,
