@@ -93,6 +93,8 @@ HEADLINE = [
     "host_keep_profile",
     "vocab_growth_curve",
     "incremental_crawl_dedup",
+    "dsir_selection",
+    "semdedup_keep",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

@@ -59,13 +59,15 @@ MUST_BE_IN_WINDOW = [
     # new in round 4
     "ppl_cutoff_routing",
     "incremental_crawl_dedup",
+    "dsir_selection",
+    "semdedup_keep",
 ]
 
 
 def test_registry_size():
     # The rotation comment in queries.py reasons about window budgets
     # from this number — pin it so the comment can't drift (ADVICE r3).
-    assert len(Q.queries()) == 90
+    assert len(Q.queries()) == 92
 
 
 def test_unverified_queries_inside_driver_window():

@@ -346,3 +346,36 @@ def test_incremental_crawl_dedup_bounded_and_hash_keyed(spark):
     for w in windows:
         assert "doc#" in w, w  # per-document partitioning only
     assert "md5" in p  # exact leg keyed on the hash, not the text
+
+
+def test_dsir_single_weight_pass_and_topk(spark):
+    """DSIR shape: the raw and target bucket counts come from ONE
+    conditional aggregation, so the documents table is scanned exactly
+    twice (weight model + scoring stream); the 256-row weight table
+    reaches the gram stream as a broadcast; selection compiles to
+    TakeOrderedAndProject, never a global sort of the corpus."""
+    df = Q.queries()["dsir_selection"](spark, SF_ORACLE)
+    p = plan_str(df)
+    assert p.count("FileScan parquet") == 2, p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    # the only Sort allowed is inside the 25-row post-limit rank window
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical
+
+
+def test_semdedup_assignment_shuffle_free(spark):
+    """SemDedup shape: centroid assignment is a narrow projection
+    (literal centroids — no row amplification, no broadcast join, no
+    Exchange between the scan and cluster_id); the pair stage is an
+    equi-join on cluster_id (no cartesian / nested-loop fallback) with
+    size-decided build sides (no forced hints — at 100 TB it must be
+    free to degrade to a shuffle join keyed on cluster_id)."""
+    df = Q.queries()["semdedup_keep"](spark, SF_ORACLE)
+    p = plan_str(df)
+    # one scan per use of the embeddings frame: assigned, pair-a, pair-b
+    # — an Exchange-fed reuse or an extra amplifying join would change it
+    assert p.count("FileScan parquet") == 3, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical

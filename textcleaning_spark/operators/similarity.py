@@ -455,3 +455,103 @@ def hyperplane_lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "item_id", "cosine", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+def semdedup_keep(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then look for semantic near-duplicates ONLY inside
+    each cluster, keeping one representative per duplicate pair — the
+    cluster assignment caps the pair space at Σ|cluster|² instead of N².
+
+    Determinism contract: centroids are the ``n_clusters`` lowest-id
+    vectors (the paper fits k-means offline; the assignment pass below
+    is identical however the centroids were fit, and seed centroids
+    keep the whole operator oracle-checkable). Assignment is argmax of
+    round(cosine, 6) with lower-centroid-id tie-break; within a
+    cluster the HIGHER id of a pair at round(cosine, 6) ≥ threshold is
+    dropped (the paper keeps a random/low-similarity representative —
+    lowest id is the deterministic twin of that choice).
+
+    Scale shape: the centroid table is collected once (k rows — A13
+    small-collect) and baked into the projection as literal arrays, so
+    assignment is one narrow, SHUFFLE-FREE pass over the corpus: k
+    sequential-fold cosines per row, no row amplification, no
+    broadcast join. The only shuffle is the intra-cluster self-join
+    keyed on cluster_id; in production k is thousands, so clusters are
+    ~N/k and the hot-cluster caveat is the same as IVF's (cap via more
+    centroids). Reference analogue: the commented LSA doc-similarity
+    path (text_process.py:412-421) — SemDedup is its corpus-dedup
+    production form.
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .collect()
+    ]
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__vec"),
+        _norm(F.col(vec_col)).alias("__nrm"),
+    )
+    choices = []
+    for cid, cv in cents:
+        acc = 0.0
+        for x in cv:
+            acc += x * x  # same sequential fold as _norm → bit-identical
+        cnrm = math.sqrt(acc)
+        cos = F.round(
+            _dot(F.col("__vec"), F.array(*[F.lit(x) for x in cv]))
+            / (F.col("__nrm") * F.lit(cnrm)),
+            6,
+        )
+        # struct max = (max cosine, then max(-cid) = min cid) — mirrors
+        # the oracle's ORDER BY cosine DESC, cid ASC
+        choices.append(F.struct(cos.alias("c"), F.lit(-cid).alias("nid")))
+    assigned = base.select(
+        "vec_id",
+        "__vec",
+        "__nrm",
+        (-F.array_max(F.array(*choices)).getField("nid"))
+        .cast("bigint")
+        .alias("cluster_id"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id").alias("__cl"),
+        F.col("__vec").alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster_id").alias("__cl"),
+        F.col("__vec").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    dups = (
+        a.join(b, "__cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return assigned.join(dups, "vec_id", "left").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "cluster_id",
+        F.col("__dup").isNull().alias("keep"),
+    )

@@ -101,6 +101,8 @@ _WINDOW_FRONT = [
     # new in round 4 — need their first driver row
     "ppl_cutoff_routing",
     "incremental_crawl_dedup",
+    "dsir_selection",
+    "semdedup_keep",
 ]
 _WINDOW_BACK = [
     # the 38 entries driver-verified green in CORRECTNESS_r03
@@ -4596,4 +4598,210 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("bigint").alias("bucket"),
         "new_bigrams",
         F.sum("new_bigrams").over(w).cast("bigint").alias("vocab_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 66. DSIR importance-resampling selection (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 256  # hashed n-gram feature buckets (md5 first hex byte pair)
+_DSIR_TOPK = 25
+
+
+@register(
+    "dsir_selection",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOK} AS toks FROM documents),
+    grams AS (
+        SELECT doc_id, lang,
+               substr(md5(array_to_string(list_slice(toks, i, i + 1), ' ')),
+                      1, 2) AS bucket
+        FROM tok,
+             unnest(range(1, greatest(len(toks), 1)::BIGINT)) AS t(i)
+    ),
+    bc AS (
+        SELECT bucket,
+               count(*)::BIGINT AS r_cnt,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS t_cnt
+        FROM grams GROUP BY bucket
+    ),
+    wts AS (
+        SELECT bucket,
+               round(1e6 * (
+                   ln((t_cnt + 1)::DOUBLE
+                      / (sum(t_cnt) OVER ()::DOUBLE + {_DSIR_BUCKETS}))
+                 - ln((r_cnt + 1)::DOUBLE
+                      / (sum(r_cnt) OVER ()::DOUBLE + {_DSIR_BUCKETS}))
+               ))::BIGINT AS w_micro
+        FROM bc
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               count(*)::BIGINT AS n_grams,
+               sum(w.w_micro)::BIGINT AS score_micro
+        FROM grams g JOIN wts w ON w.bucket = g.bucket
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id::BIGINT AS doc_id, n_grams, score_micro,
+           row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)::BIGINT
+               AS sel_rank
+    FROM scored
+    ORDER BY sel_rank
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much its
+    hashed n-gram features look drawn from a TARGET distribution
+    rather than the raw crawl, then keep the top-scoring slice. Target
+    here = the ``lang = 'en'`` slice (the paper uses Wikipedia+books;
+    any deterministic slice exercises the same math). Features are
+    word bigrams hashed to 256 buckets via an md5 prefix — the paper's
+    hashed generative mini-model with +1 smoothing.
+
+    Determinism contract: per-bucket log-ratio weights are snapped to
+    fixed-point MICRO units (round(1e6·Δln) → BIGINT) so the per-doc
+    score is an ORDER-INDEPENDENT integer sum — a float sum over
+    shuffled gram rows would not hash-match across engines. Selection
+    ranks by the unrounded integer score with a doc_id tie-break.
+
+    Scale shape: the raw AND target bucket counts come from ONE
+    256-key conditional aggregation (map-side partials; no second
+    corpus pass for the target slice), the 256-row weight table is
+    broadcast back onto the gram stream, one integer-sum shuffle keyed
+    on doc_id, and the top-k compiles to TakeOrderedAndProject (rank
+    is computed after the limit, over k rows — never a global sort of
+    the corpus). Reference analogue:
+    corpus-statistics-driven vocabulary selection
+    (text_process.py:253-274), generalized from dropping words to
+    selecting documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "lang", T.tokens("text").alias("__toks"))
+    toks = F.col("__toks")
+    spans = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(2))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toked.select(
+        "doc_id", "lang", F.explode(spans).alias("gram")
+    ).select(
+        "doc_id", "lang", F.substring(F.md5(F.col("gram")), 1, 2).alias("bucket")
+    )
+    bc = g.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("t_cnt"),
+    )
+    # corpus totals as window sums over the 256-row bucket frame: a
+    # second `bc.agg(...)` branch would recompute the whole bucket
+    # aggregation (and re-scan documents); the unpartitioned window is
+    # a single 256-row task, not a corpus sort
+    tot_w = Window.partitionBy()
+    b = float(_DSIR_BUCKETS)
+    wts = bc.select(
+        "bucket",
+        F.round(
+            F.lit(1e6)
+            * (
+                F.log(
+                    (F.col("t_cnt") + 1).cast("double")
+                    / (F.sum("t_cnt").over(tot_w).cast("double") + b)
+                )
+                - F.log(
+                    (F.col("r_cnt") + 1).cast("double")
+                    / (F.sum("r_cnt").over(tot_w).cast("double") + b)
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    scored = (
+        g.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("w_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    order = [F.col("score_micro").desc(), F.col("doc_id").asc()]
+    top = scored.orderBy(*order).limit(_DSIR_TOPK)
+    return top.select(
+        "doc_id",
+        "n_grams",
+        "score_micro",
+        F.row_number().over(Window.orderBy(*order)).cast("bigint").alias("sel_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 67. SemDedup — cluster-then-dedup over embeddings (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+_SEM_K = 8       # seed centroids (see semdedup_keep's determinism contract)
+_SEM_T = 0.4     # intra-cluster duplicate threshold (= _COS_T)
+
+
+@register(
+    "semdedup_keep",
+    f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x),
+                                (a, b) -> a + b)) AS nrm
+        FROM e
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+          FROM n ORDER BY vec_id LIMIT {_SEM_K}),
+    scored AS (
+        SELECT n.vec_id, c.cid,
+               round(list_reduce(list_transform(list_zip(n.v, c.cv),
+                                                p -> p[1] * p[2]),
+                                 (a, b) -> a + b) / (n.nrm * c.cnrm),
+                     6) AS cosine
+        FROM n CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, cid AS cluster_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cosine DESC, cid ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a
+        JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = b.vec_id
+        WHERE round(list_reduce(list_transform(list_zip(na.v, nb.v),
+                                               p -> p[1] * p[2]),
+                                (x, y) -> x + y) / (na.nrm * nb.nrm),
+                    6) >= {_SEM_T}
+    )
+    SELECT a.vec_id::BIGINT AS vec_id,
+           a.cluster_id::BIGINT AS cluster_id,
+           (d.vec_id IS NULL) AS keep
+    FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+    """,
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): assign every embedding to its
+    nearest of k centroids, then drop the higher id of any
+    within-cluster pair at round(cosine, 6) ≥ {_SEM_T} — semantic
+    dedup whose pair space is capped by the cluster partition instead
+    of N². See operators/similarity.semdedup_keep for the determinism
+    contract (seed centroids, fold cosine, id tie-breaks) and the
+    shuffle-free assignment scale shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semdedup_keep(
+        emb, "vec_id", "embedding", n_clusters=_SEM_K, threshold=_SEM_T
     )
