@@ -95,6 +95,7 @@ HEADLINE = [
     "incremental_crawl_dedup",
     "dsir_selection",
     "semdedup_keep",
+    "pipeline_funnel",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

@@ -61,13 +61,14 @@ MUST_BE_IN_WINDOW = [
     "incremental_crawl_dedup",
     "dsir_selection",
     "semdedup_keep",
+    "pipeline_funnel",
 ]
 
 
 def test_registry_size():
     # The rotation comment in queries.py reasons about window budgets
     # from this number — pin it so the comment can't drift (ADVICE r3).
-    assert len(Q.queries()) == 92
+    assert len(Q.queries()) == 93
 
 
 def test_unverified_queries_inside_driver_window():

@@ -379,3 +379,13 @@ def test_semdedup_assignment_shuffle_free(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+
+
+def test_pipeline_funnel_single_scan_hash_shuffle(spark):
+    """Funnel shape: ONE corpus scan, verdict/token computed scan-side,
+    everything collapses through the md5-key aggregation — a second
+    scan would mean some stage is recounted from raw text."""
+    p = plan_str(Q.queries()["pipeline_funnel"](spark, SF_ORACLE))
+    assert p.count("FileScan parquet") == 1, p
+    scan = [l for l in p.splitlines() if "FileScan parquet" in l][0]
+    assert "text" in scan and "doc_id" not in scan  # only text read

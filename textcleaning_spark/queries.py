@@ -103,6 +103,7 @@ _WINDOW_FRONT = [
     "incremental_crawl_dedup",
     "dsir_selection",
     "semdedup_keep",
+    "pipeline_funnel",
 ]
 _WINDOW_BACK = [
     # the 38 entries driver-verified green in CORRECTNESS_r03
@@ -4804,4 +4805,127 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.semdedup_keep(
         emb, "vec_id", "embedding", n_clusters=_SEM_K, threshold=_SEM_T
+    )
+
+
+# ---------------------------------------------------------------------------
+# 68. Pipeline funnel report (stage-by-stage doc/token retention)
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_funnel",
+    f"""
+    WITH per AS (
+        SELECT md5(text) AS h,
+               count(*)::BIGINT AS copies,
+               max({T.keep_expr_sql('text')}) AS keep,
+               max({T.n_words_sql('text')}) AS tok
+        FROM documents
+        GROUP BY md5(text)
+    ),
+    s AS (
+        SELECT sum(copies)::BIGINT AS raw_docs,
+               sum(copies * tok)::BIGINT AS raw_tokens,
+               count(*)::BIGINT AS uniq_docs,
+               sum(tok)::BIGINT AS uniq_tokens,
+               sum(CASE WHEN keep THEN copies ELSE 0 END)::BIGINT AS keep_docs,
+               sum(CASE WHEN keep THEN copies * tok ELSE 0 END)::BIGINT
+                   AS keep_tokens,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS uk_docs,
+               sum(CASE WHEN keep THEN tok ELSE 0 END)::BIGINT AS uk_tokens
+        FROM per
+    )
+    SELECT 1::BIGINT AS stage_order, 'raw' AS stage,
+           raw_docs AS n_docs, raw_tokens AS n_tokens,
+           round(raw_docs::DOUBLE / raw_docs, 6) AS doc_frac,
+           round(raw_tokens::DOUBLE / raw_tokens, 6) AS token_frac
+    FROM s
+    UNION ALL
+    SELECT 2::BIGINT, 'exact_dedup', uniq_docs, uniq_tokens,
+           round(uniq_docs::DOUBLE / raw_docs, 6),
+           round(uniq_tokens::DOUBLE / raw_tokens, 6)
+    FROM s
+    UNION ALL
+    SELECT 3::BIGINT, 'quality_keep', keep_docs, keep_tokens,
+           round(keep_docs::DOUBLE / raw_docs, 6),
+           round(keep_tokens::DOUBLE / raw_tokens, 6)
+    FROM s
+    UNION ALL
+    SELECT 4::BIGINT, 'dedup_and_keep', uk_docs, uk_tokens,
+           round(uk_docs::DOUBLE / raw_docs, 6),
+           round(uk_tokens::DOUBLE / raw_tokens, 6)
+    FROM s
+    """,
+)
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage retention funnel — the report every curation run
+    ships: how many documents and tokens survive (1) the raw crawl,
+    (2) exact dedup, (3) the Gopher/C4 quality rule, (4) both. The
+    token column is what a training-budget owner actually reads; the
+    doc/token fractions make inter-snapshot drift visible.
+
+    Scale shape: ONE corpus scan; quality verdict and token count are
+    computed scan-side per row, then everything collapses through a
+    single shuffle keyed on md5(text) (8-byte-ish hash keys, the text
+    itself never shuffles — same discipline as exact_dedup /
+    boilerplate). The 4-stage report is an explode of ONE 1-row
+    aggregate, so no second pass exists to disagree with the first.
+    Duplicate texts share one verdict by construction (keep is a
+    function of text only), which is what makes the single hash
+    aggregation sufficient. Reference analogue: the between-runs
+    vocabulary/document accounting the reference logs manually
+    (sna_analysis.py:162-168), promoted to a first-class query."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            F.md5(F.col("text")).alias("h"),
+            T.keep_expr("text").alias("keep"),
+            T.n_words("text").alias("tok"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("copies"),
+            F.max("keep").alias("keep"),
+            F.max("tok").alias("tok"),
+        )
+    )
+    s = per.agg(
+        F.sum("copies").cast("bigint").alias("raw_docs"),
+        F.sum(F.col("copies") * F.col("tok")).cast("bigint").alias("raw_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("uniq_docs"),
+        F.sum("tok").cast("bigint").alias("uniq_tokens"),
+        F.sum(F.when(F.col("keep"), F.col("copies")).otherwise(0))
+        .cast("bigint")
+        .alias("keep_docs"),
+        F.sum(F.when(F.col("keep"), F.col("copies") * F.col("tok")).otherwise(0))
+        .cast("bigint")
+        .alias("keep_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("uk_docs"),
+        F.sum(F.when(F.col("keep"), F.col("tok")).otherwise(0))
+        .cast("bigint")
+        .alias("uk_tokens"),
+    )
+
+    def stage(order: int, name: str, d: str, t: str):
+        return F.struct(
+            F.lit(order).cast("bigint").alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.col(d).alias("n_docs"),
+            F.col(t).alias("n_tokens"),
+            F.round(F.col(d).cast("double") / F.col("raw_docs"), 6).alias("doc_frac"),
+            F.round(F.col(t).cast("double") / F.col("raw_tokens"), 6).alias(
+                "token_frac"
+            ),
+        )
+
+    rows = F.explode(
+        F.array(
+            stage(1, "raw", "raw_docs", "raw_tokens"),
+            stage(2, "exact_dedup", "uniq_docs", "uniq_tokens"),
+            stage(3, "quality_keep", "keep_docs", "keep_tokens"),
+            stage(4, "dedup_and_keep", "uk_docs", "uk_tokens"),
+        )
+    ).alias("r")
+    return s.select(rows).select(
+        "r.stage_order", "r.stage", "r.n_docs", "r.n_tokens",
+        "r.doc_frac", "r.token_frac",
     )
