@@ -4875,11 +4875,16 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary/document accounting the reference logs manually
     (sna_analysis.py:162-168), promoted to a first-class query."""
     docs = load_table(spark, sf_dir, "documents")
+    # keep/tok via the single-tokenize score_documents shape — the naive
+    # keep_expr tree re-splits the text ~10× per row (measured 11.2 s vs
+    # ~3 s for this query at sf0.1); verdict semantics are identical
+    # (same unrounded ratios), so the keep_expr_sql oracle is unchanged.
     per = (
-        docs.select(
+        q.score_documents(docs.select("text"), "text", _QCFG)
+        .select(
             F.md5(F.col("text")).alias("h"),
-            T.keep_expr("text").alias("keep"),
-            T.n_words("text").alias("tok"),
+            F.col("keep"),
+            F.col("n_words").alias("tok"),
         )
         .groupBy("h")
         .agg(
