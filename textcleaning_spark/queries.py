@@ -104,6 +104,8 @@ _WINDOW_FRONT = [
     "dsir_selection",
     "semdedup_keep",
     "pipeline_funnel",
+    "minhash_lsh_recall",
+    "quality_drift_psi",
 ]
 _WINDOW_BACK = [
     # the 38 entries driver-verified green in CORRECTNESS_r03
@@ -4933,4 +4935,271 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(rows).select(
         "r.stage_order", "r.stage", "r.n_docs", "r.n_tokens",
         "r.doc_frac", "r.token_frac",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 69. MinHash-LSH recall audit — closes the loop on the near-dup scale
+#     path the way ann_recall_vs_bruteforce closed it for ANN, but
+#     FULLY oracle-checked: both sides of the recall fraction are md5
+#     arithmetic DuckDB can replay exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_lsh_recall",
+    f"""
+    WITH tok AS (
+        SELECT doc_id AS doc, unnest(list_distinct({_TOK})) AS word
+        FROM documents
+    ),
+    sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM tok GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS common
+        FROM tok a JOIN tok b ON a.word = b.word AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE common::DOUBLE / (sa.sz + sb.sz - common) >= {_JACCARD_T}
+    ),
+    sigs AS (
+        SELECT doc_id, {', '.join(dd.minhash_signature_sql('text', 8))}
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                   WHEN 0 THEN md5(sig_0 || '|' || sig_1)
+                   WHEN 1 THEN md5(sig_2 || '|' || sig_3)
+                   WHEN 2 THEN md5(sig_4 || '|' || sig_5)
+                   ELSE md5(sig_6 || '|' || sig_7)
+               END AS band_hash
+        FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+    ),
+    hits AS (
+        SELECT t.doc_a FROM truth t
+        JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT * FROM (
+        SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+               (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+               (SELECT count(*) FROM hits)::BIGINT AS n_hits,
+               round((SELECT count(*) FROM hits)::DOUBLE
+                     / (SELECT count(*) FROM truth), 6) AS recall
+    ) WHERE n_hits * 10 >= n_truth * 9
+    """,
+)
+def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible MinHash-LSH quality gate: recall of the banded
+    candidate generator (`lsh_candidate_pairs`, the linear-shuffle
+    scale path) against the exact Jaccard truth set
+    (`near_dup_jaccard`, PPJoin-bounded) at the same threshold.
+
+    With k=8 signatures in 4 bands of 2 rows, a pair at Jaccard s
+    collides with probability 1-(1-s^2)^4 — 0.99996 at the 0.96
+    threshold, so recall should sit at ~1.0; the in-query gate
+    (n_hits*10 >= n_truth*9, exact integer arithmetic — CLAUDE.md
+    unrounded-verdict rule) makes the single report row VANISH if
+    banding ever degrades below 0.9, which the driver records as a
+    row-count drop even before the value hash. Unlike the ANN gate
+    this one is fully oracle-checked: signatures and band hashes are
+    md5 expressions both engines evaluate identically.
+
+    Scale shape: truth pairs come from the PPJoin prefix+length
+    bounds (subquadratic under hot tokens), candidates shuffle on
+    (band_id, band_hash) — O(docs × bands); the semi-join joins two
+    already-tiny pair frames, and the final row is a cross of three
+    scalar aggregates. Nothing in the plan holds an unbounded key.
+    Reference analogue: the reference validates its similarity join
+    by eyeballing known-duplicate rows (text_process.py:329-340);
+    this is that check promoted to a measured, gated recall number.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dd.token_jaccard_pairs(docs, "doc_id", "text", _JACCARD_T).select(
+        "doc_a", "doc_b"
+    )
+    sigs = dd.minhash_signature(docs, "doc_id", "text", _MINHASH_K)
+    cand = dd.lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4)
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        .crossJoin(
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+        .filter(F.col("n_hits") * 10 >= F.col("n_truth") * 9)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 70. Quality-signal drift (PSI per source) — the monitoring report a
+#     crawl-over-crawl pipeline runs to catch a source whose quality
+#     profile shifted before the shifted data reaches training.
+# ---------------------------------------------------------------------------
+def _psi_bucket_sql() -> str:
+    """DuckDB (signal, bucket) pairs matching :func:`quality_drift_psi`."""
+    nw = T.n_words_sql("text")
+    mwl = f"round({T.mean_word_len_sql('text')}, 6)"
+    stop = T.stop_word_count_sql("text")
+    return f"""
+        SELECT source, u.signal,
+               CASE u.signal
+                   WHEN 'log2_tokens' THEN
+                       coalesce((length(bin({nw})) - 1)::INT, -1)
+                   WHEN 'mean_word_len' THEN
+                       coalesce(floor({mwl} * 2)::INT, -1)
+                   ELSE coalesce(floor(round(CASE WHEN {nw} > 0
+                       THEN {stop}::DOUBLE / {nw} END, 6) * 10)::INT, -1)
+               END AS bucket
+        FROM documents,
+             (SELECT unnest(['log2_tokens', 'mean_word_len', 'stop_frac'])
+                     AS signal) u
+    """
+
+
+@register(
+    "quality_drift_psi",
+    f"""
+    WITH ex AS ({_psi_bucket_sql()}),
+    cnt AS (
+        SELECT signal, source, bucket, count(*)::BIGINT AS c
+        FROM ex GROUP BY 1, 2, 3
+    ),
+    srcs AS (
+        SELECT signal, source, sum(c)::BIGINT AS n_s FROM cnt GROUP BY 1, 2
+    ),
+    gdist AS (
+        SELECT signal, bucket, sum(c)::BIGINT AS g FROM cnt GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT signal, sum(c)::BIGINT AS n,
+               count(DISTINCT bucket)::BIGINT AS bcount
+        FROM cnt GROUP BY 1
+    ),
+    grid AS (
+        SELECT s.signal, s.source, g.bucket, s.n_s, g.g,
+               coalesce(c.c, 0)::BIGINT AS c
+        FROM srcs s
+        JOIN gdist g ON s.signal = g.signal
+        LEFT JOIN cnt c ON c.signal = s.signal AND c.source = s.source
+                        AND c.bucket = g.bucket
+    )
+    SELECT grid.signal, grid.source, max(grid.n_s)::BIGINT AS n_docs,
+           round(sum(
+               ((grid.c::DOUBLE + 0.5) / (grid.n_s::DOUBLE + 0.5 * tot.bcount)
+                - (grid.g::DOUBLE + 0.5) / (tot.n::DOUBLE + 0.5 * tot.bcount))
+               * ln(((grid.c::DOUBLE + 0.5)
+                     / (grid.n_s::DOUBLE + 0.5 * tot.bcount))
+                    / ((grid.g::DOUBLE + 0.5)
+                       / (tot.n::DOUBLE + 0.5 * tot.bcount)))
+           ), 6) AS psi
+    FROM grid JOIN tot ON tot.signal = grid.signal
+    GROUP BY 1, 2
+    """,
+)
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of three quality-signal histograms,
+    per (signal, source), against the whole-corpus distribution — the
+    drift monitor that catches a domain whose content shifted between
+    crawls (PSI > 0.2 is the classic act threshold; the report leaves
+    thresholding to the reader since drift is advisory, not a verdict).
+
+    Signals and their bucketing (exact in both engines):
+    - ``log2_tokens``: integer bit-length bucket, the
+      token_count_histogram key;
+    - ``mean_word_len``: 0.5-wide bins of the ROUNDED published
+      signal (floor of an identical rounded double is portable);
+    - ``stop_frac``: 0.1-wide bins of round(stop/words, 6).
+    Smoothing is +0.5 per bucket (Laplace over the signal's observed
+    bucket set), so empty buckets contribute finite, identical terms.
+
+    Scale shape: signals come from the single-tokenize
+    score_documents scan; one explode(×3) and ONE shuffle on
+    (signal, source, bucket) collapse the corpus to a
+    signals×sources×buckets frame (~hundreds of rows); every
+    subsequent join/aggregate is over that tiny frame, so 100× data
+    changes only the first shuffle's input. A hot source skews
+    nothing: the groupBy key includes bucket, and the per-key partial
+    aggregation bounds any single task. Reference analogue: the
+    between-corpora frequency comparisons the reference runs by
+    re-executing its stats script per corpus and diffing by hand
+    (sna_analysis.py:162-168) — here as one gated report."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    scored = q.score_documents(docs, "text", _QCFG)
+    tokb = F.coalesce(
+        (F.length(F.bin("n_words")) - 1).cast("int"), F.lit(-1)
+    )
+    mwlb = F.coalesce(
+        F.floor(F.col("mean_word_len") * 2).cast("int"), F.lit(-1)
+    )
+    stopb = F.coalesce(
+        F.floor(
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.col("stop_word_count").cast("double") / F.col("n_words"),
+                ),
+                6,
+            )
+            * 10
+        ).cast("int"),
+        F.lit(-1),
+    )
+    ex = scored.select(
+        "source",
+        F.explode(
+            F.array(
+                F.struct(F.lit("log2_tokens").alias("signal"), tokb.alias("bucket")),
+                F.struct(F.lit("mean_word_len").alias("signal"), mwlb.alias("bucket")),
+                F.struct(F.lit("stop_frac").alias("signal"), stopb.alias("bucket")),
+            )
+        ).alias("sb"),
+    ).select("source", "sb.signal", "sb.bucket")
+    cnt = (
+        ex.groupBy("signal", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    srcs = cnt.groupBy("signal", "source").agg(
+        F.sum("c").cast("bigint").alias("n_s")
+    )
+    glob = cnt.groupBy("signal", "bucket").agg(
+        F.sum("c").cast("bigint").alias("g")
+    )
+    tot = cnt.groupBy("signal").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count_distinct("bucket").cast("bigint").alias("bcount"),
+    )
+    grid = (
+        srcs.join(glob, "signal")
+        .join(
+            cnt.select(
+                "signal", "source", "bucket", F.col("c").alias("c_obs")
+            ),
+            ["signal", "source", "bucket"],
+            "left",
+        )
+        .withColumn("c", F.coalesce(F.col("c_obs"), F.lit(0)).cast("bigint"))
+        .join(tot, "signal")
+    )
+    p = (F.col("c") + 0.5) / (F.col("n_s") + 0.5 * F.col("bcount"))
+    qd = (F.col("g") + 0.5) / (F.col("n") + 0.5 * F.col("bcount"))
+    return grid.groupBy("signal", "source").agg(
+        F.max("n_s").cast("bigint").alias("n_docs"),
+        F.round(F.sum((p - qd) * F.log(p / qd)), 6).alias("psi"),
     )
