@@ -96,6 +96,9 @@ HEADLINE = [
     "dsir_selection",
     "semdedup_keep",
     "pipeline_funnel",
+    "minhash_lsh_recall",
+    "quality_drift_psi",
+    "nb_calibration",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

@@ -64,13 +64,14 @@ MUST_BE_IN_WINDOW = [
     "pipeline_funnel",
     "minhash_lsh_recall",
     "quality_drift_psi",
+    "nb_calibration",
 ]
 
 
 def test_registry_size():
     # The rotation comment in queries.py reasons about window budgets
     # from this number — pin it so the comment can't drift (ADVICE r3).
-    assert len(Q.queries()) == 95
+    assert len(Q.queries()) == 96
 
 
 def test_unverified_queries_inside_driver_window():

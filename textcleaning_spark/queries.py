@@ -106,6 +106,7 @@ _WINDOW_FRONT = [
     "pipeline_funnel",
     "minhash_lsh_recall",
     "quality_drift_psi",
+    "nb_calibration",
 ]
 _WINDOW_BACK = [
     # the 38 entries driver-verified green in CORRECTNESS_r03
@@ -534,10 +535,13 @@ def source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     and scoring is a broadcast join + integer sum. Deterministic via
 #     fixed-point micro-unit log-odds (see operators/classifier.py).
 # ---------------------------------------------------------------------------
-def _nb_confusion_sql(train_pred: str, score_pred: str) -> str:
+def _nb_scored_sql(train_pred: str, score_pred: str) -> str:
     """DuckDB twin of the Bernoulli-NB train/score chain, parameterized
     by which documents train the model and which get scored (both
-    predicates over ``doc_id``; ``TRUE`` = the whole corpus)."""
+    predicates over ``doc_id``; ``TRUE`` = the whole corpus). Returns
+    the CTE chain up to and including the per-document ``scored``
+    frame (rule_keep, score_micro) so confusion and calibration
+    reports share ONE spec of the classifier."""
     return f"""
     WITH labeled AS (
         SELECT doc_id, {T.keep_expr_sql('text')} AS keep FROM documents
@@ -591,6 +595,12 @@ def _nb_confusion_sql(train_pred: str, score_pred: str) -> str:
         CROSS JOIN konst k
         WHERE {score_pred}
     )
+    SELECT 1
+    """.rsplit("SELECT 1", 1)[0]
+
+
+def _nb_confusion_sql(train_pred: str, score_pred: str) -> str:
+    return _nb_scored_sql(train_pred, score_pred) + """
     SELECT rule_keep, (score_micro > 0) AS nb_keep,
            count(*)::BIGINT AS n_docs,
            sum(score_micro)::BIGINT AS sum_score_micro
@@ -5202,4 +5212,68 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("signal", "source").agg(
         F.max("n_s").cast("bigint").alias("n_docs"),
         F.round(F.sum((p - qd) * F.log(p / qd)), 6).alias("psi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 71. NB classifier calibration (reliability table) — does the distilled
+#     quality score MEAN anything, or only its sign? Confusion matrices
+#     (queries 8c/8d) grade the sign; this grades the magnitude.
+# ---------------------------------------------------------------------------
+@register(
+    "nb_calibration",
+    _nb_scored_sql("TRUE", "TRUE")
+    + """
+    SELECT CAST(least(greatest(
+               floor(score_micro::DOUBLE / 1000000), -10), 10) AS BIGINT)
+               AS lo_bin,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN rule_keep THEN 1 ELSE 0 END)::BIGINT AS n_rule_keep,
+           round(sum(CASE WHEN rule_keep THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS rule_keep_rate,
+           round(avg(score_micro), 4) AS avg_score_micro
+    FROM scored GROUP BY 1
+    """,
+)
+def nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the distilled Bernoulli-NB quality score:
+    documents bucketed by integer log-odds (score_micro in micro-nats,
+    1 bin = 1 nat, clamped to ±10), each bin reporting how often the
+    teacher rule actually said keep. A calibrated student shows
+    rule_keep_rate rising monotonically with lo_bin and crossing 0.5
+    near bin 0 — the evidence a pipeline owner needs before using the
+    score as a SAMPLING WEIGHT (CCNet §4 / DSIR style) rather than a
+    hard threshold. Shares the `_nb_scored_sql` spec with the
+    confusion queries, so the classifier has exactly one definition.
+
+    Scale shape: identical to nb_quality_confusion up to `scored`
+    (one distinct-(doc,word) materialization, vocab log-odds
+    broadcast, one groupBy(doc) shuffle); the binning adds a single
+    ≤21-key aggregation over the per-document frame. The clamp bounds
+    the output schema, not the data — no per-key skew risk beyond
+    what the sign test already has."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = (
+        q.score_documents(docs, "text", _QCFG)
+        .select("doc_id", "text", "keep")
+        .localCheckpoint(eager=False)
+    )
+    tok = clf.doc_tokens(labeled)
+    lo = clf.train_log_odds(tok, labeled)
+    scored = clf.score_documents_nb(labeled, tok, lo)
+    lo_bin = F.least(
+        F.greatest(
+            F.floor(F.col("score_micro").cast("double") / 1000000),
+            F.lit(-10),
+        ),
+        F.lit(10),
+    ).cast("bigint")
+    rk = F.when(F.col("rule_keep"), 1).otherwise(0)
+    return scored.groupBy(lo_bin.alias("lo_bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(rk).cast("bigint").alias("n_rule_keep"),
+        F.round(F.sum(rk).cast("double") / F.count(F.lit(1)), 6).alias(
+            "rule_keep_rate"
+        ),
+        F.round(F.avg("score_micro"), 4).alias("avg_score_micro"),
     )
