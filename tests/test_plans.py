@@ -389,3 +389,35 @@ def test_pipeline_funnel_single_scan_hash_shuffle(spark):
     assert p.count("FileScan parquet") == 1, p
     scan = [l for l in p.splitlines() if "FileScan parquet" in l][0]
     assert "text" in scan and "doc_id" not in scan  # only text read
+
+
+def test_minhash_lsh_recall_scan_behind_one_checkpoint(spark):
+    """Recall audit shape: every corpus access goes through the single
+    checkpointed token-set frame (truth AND signatures derive from
+    it), so the outer plan holds NO parquet scan; the scalar crosses
+    are 1-row broadcasts, never a real cartesian."""
+    p = plan_str(Q.queries()["minhash_lsh_recall"](spark, SF_ORACLE))
+    assert "FileScan parquet" not in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_quality_drift_psi_tiny_frame_after_one_shuffle(spark):
+    """PSI shape: the corpus collapses through the checkpointed
+    (signal, source, bucket) count — the outer plan must contain no
+    parquet scan (no stage recounts from raw text) and every join over
+    the tiny grid frames must broadcast, never sort-merge."""
+    p = plan_str(Q.queries()["quality_drift_psi"](spark, SF_ORACLE))
+    assert "FileScan parquet" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p
+
+
+def test_nb_calibration_reuses_confusion_chain(spark):
+    """Calibration shape: identical scored chain as the confusion
+    (vocab log-odds broadcast, no cartesian); the bin agg adds one
+    ≤21-key hash aggregate, no extra corpus pass (labeled frame is
+    the checkpoint — outer plan scans no parquet)."""
+    p = plan_str(Q.queries()["nb_calibration"](spark, SF_ORACLE))
+    assert "FileScan parquet" not in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p

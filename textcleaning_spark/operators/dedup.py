@@ -49,20 +49,20 @@ def exact_duplicates(df: DataFrame, doc_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(
+def minhash_signature_sets(
     df: DataFrame,
     doc_col: str,
-    text_col: str,
+    toks_col: str,
     k: int = 8,
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """k-permutation MinHash over the distinct-token set, as native
-    expressions: permutation i = md5("<i>|" + token), signature =
+    """k-permutation MinHash over a pre-built distinct-element array
+    column: permutation i = md5("<i>|" + token), signature =
     lexicographic min. Deterministic and engine-portable (md5 is md5).
-    ``keep_cols`` pass through untouched (streaming callers can't join
-    the signature frame back — that would be a stream-stream join).
-    """
-    toks = F.array_distinct(tokens(text_col))
+    Taking the SET COLUMN (not text) lets callers that also need the
+    raw sets — e.g. an LSH-vs-exact-Jaccard recall audit — build them
+    once and feed both consumers from one scan."""
+    toks = F.col(toks_col)
     sig_cols = [
         F.array_min(
             F.transform(toks, lambda t: F.md5(F.encode(F.concat(F.lit(f"{i}|"), t), "UTF-8")))
@@ -70,6 +70,29 @@ def minhash_signature(
         for i in range(k)
     ]
     return df.select(F.col(doc_col), *[F.col(c) for c in keep_cols], *sig_cols)
+
+
+def minhash_signature(
+    df: DataFrame,
+    doc_col: str,
+    text_col: str,
+    k: int = 8,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """MinHash signatures from raw text (see
+    :func:`minhash_signature_sets`). The token set is materialized as
+    a column FIRST so tokenize+distinct runs once per row —
+    referencing the expression from all k signature columns would
+    build (and execute) k copies of it (CollapseProject keeps a
+    non-cheap multiply-referenced expression in its own Project).
+    ``keep_cols`` pass through untouched (streaming callers can't join
+    the signature frame back — that would be a stream-stream join)."""
+    setted = df.select(
+        F.col(doc_col),
+        *[F.col(c) for c in keep_cols],
+        F.array_distinct(tokens(text_col)).alias("__toks"),
+    )
+    return minhash_signature_sets(setted, doc_col, "__toks", k, keep_cols)
 
 
 def minhash_signature_sql(text_col: str, k: int = 8) -> list[str]:

@@ -5032,11 +5032,24 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is that check promoted to a measured, gated recall number.
     """
     docs = load_table(spark, sf_dir, "documents")
-    truth = dd.token_jaccard_pairs(docs, "doc_id", "text", _JACCARD_T).select(
-        "doc_a", "doc_b"
+    # ONE corpus scan: the distinct-token sets feed both the exact
+    # (PPJoin) truth side and the MinHash signature side; both pair
+    # frames are tiny, so checkpointing them keeps each chain — and
+    # the scan — from re-running per consumer (truth and cand are
+    # each read twice: their scalar count and the hits semi-join).
+    sets = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.array_distinct(T.tokens("text")).alias("toks"),
+    ).localCheckpoint(eager=False)
+    truth = (
+        dd.ppjoin_pairs(sets, "doc", "toks", _JACCARD_T)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
-    sigs = dd.minhash_signature(docs, "doc_id", "text", _MINHASH_K)
-    cand = dd.lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=4)
+    sigs = dd.minhash_signature_sets(sets, "doc", "toks", _MINHASH_K)
+    cand = dd.lsh_candidate_pairs(sigs, "doc", k=_MINHASH_K, bands=4).localCheckpoint(
+        eager=False
+    )
     hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     return (
         truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
