@@ -99,6 +99,7 @@ HEADLINE = [
     "minhash_lsh_recall",
     "quality_drift_psi",
     "nb_calibration",
+    "vocab_hll_audit",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

@@ -37,3 +37,14 @@ def test_quality_drift_psi_invariants(spark):
     assert all(len(s) == n_sources for s in by_sig.values())
     # synthetic sf0.01 slices the corpus evenly across 20 sources
     assert {r.n_docs for r in rows} == {25}
+
+
+def test_vocab_hll_audit_gate_row_present(spark):
+    """HLL++ at rsd=0.01 must sit well inside the 5% in-query gate on
+    the bigram vocabulary; the row carries the measured error."""
+    rows = Q.queries()["vocab_hll_audit"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.exact_distinct > 0
+    assert abs(r.hll_distinct - r.exact_distinct) * 100 <= r.exact_distinct * 5
+    assert r.rel_error <= 0.05

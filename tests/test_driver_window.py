@@ -65,13 +65,14 @@ MUST_BE_IN_WINDOW = [
     "minhash_lsh_recall",
     "quality_drift_psi",
     "nb_calibration",
+    "vocab_hll_audit",
 ]
 
 
 def test_registry_size():
     # The rotation comment in queries.py reasons about window budgets
     # from this number — pin it so the comment can't drift (ADVICE r3).
-    assert len(Q.queries()) == 96
+    assert len(Q.queries()) == 97
 
 
 def test_unverified_queries_inside_driver_window():
@@ -95,6 +96,7 @@ def test_queries_and_oracles_consistent():
         "embedding_near_dup_fast",
         "media_feature_profile",
         "ppl_cutoff_routing",
+        "vocab_hll_audit",
     ]
 
 

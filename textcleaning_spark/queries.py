@@ -107,6 +107,7 @@ _WINDOW_FRONT = [
     "minhash_lsh_recall",
     "quality_drift_psi",
     "nb_calibration",
+    "vocab_hll_audit",
 ]
 _WINDOW_BACK = [
     # the 38 entries driver-verified green in CORRECTNESS_r03
@@ -5022,6 +5023,12 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one is fully oracle-checked: signatures and band hashes are
     md5 expressions both engines evaluate identically.
 
+    n_candidates context: the synthetic corpus is template-dense
+    (median pair Jaccard ~0.6 at sf0.01), so most candidate pairs are
+    GENUINELY similar — banding is doing its job; widening bands
+    (r rows/band: collision p = 1-(1-s^r)^b) is the knob when the
+    audit shows candidates dominated by sub-threshold pairs.
+
     Scale shape: truth pairs come from the PPJoin prefix+length
     bounds (subquadratic under hot tokens), candidates shuffle on
     (band_id, band_hash) — O(docs × bands); the semi-join joins two
@@ -5290,3 +5297,42 @@ def nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("score_micro"), 4).alias("avg_score_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 72. HLL cardinality audit — the 100 TB scale path for vocabulary
+#     counting, gated in-query against the exact count the same way
+#     ann_recall_vs_bruteforce gates the ANN indexes.
+# ---------------------------------------------------------------------------
+@register("vocab_hll_audit")  # rows-only: HLL++ register layout is engine-
+# specific, so DuckDB cannot replay the estimate; the gate is in-query.
+def vocab_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs HyperLogLog++ distinct word-bigram count, one row,
+    FILTERED to relative error ≤ 5% (integer arithmetic on the exact
+    side of the inequality). At 100 TB the exact count is the thing
+    you CANNOT afford — count(DISTINCT gram) shuffles every distinct
+    gram once — while approx_count_distinct(rsd=0.01) carries a
+    fixed few-KB sketch per partition and merges in the driver-side
+    final agg: no gram ever shuffles. This audit runs both on the
+    same scan at test scale and publishes the estimator's actual
+    error, so the pipeline can quote a measured bound when it swaps
+    in the sketch at scale; a Spark upgrade that shifted the HLL
+    estimate outside 5% would make the row vanish (driver rows-only
+    count drop). Deterministic: HLL++ is seed-free, a pure function
+    of the value set."""
+    docs = load_table(spark, sf_dir, "documents")
+    sp = _doc_word_spans(docs, 2).withColumnRenamed("span", "gram")
+    agg = sp.agg(
+        F.count_distinct("gram").cast("bigint").alias("exact_distinct"),
+        F.approx_count_distinct("gram", 0.01).cast("bigint").alias(
+            "hll_distinct"
+        ),
+    )
+    err = F.abs(F.col("hll_distinct") - F.col("exact_distinct"))
+    return agg.select(
+        "exact_distinct",
+        "hll_distinct",
+        F.round(
+            err.cast("double") / F.col("exact_distinct"), 6
+        ).alias("rel_error"),
+    ).filter(err * 100 <= F.col("exact_distinct") * 5)
