@@ -4949,6 +4949,10 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_AUDIT_SALT = "lshaudit"
+_LSH_AUDIT_HEX_CUT = "33333333"  # ~20% deterministic audit sample
+
+
 # ---------------------------------------------------------------------------
 # 69. MinHash-LSH recall audit — closes the loop on the near-dup scale
 #     path the way ann_recall_vs_bruteforce closed it for ANN, but
@@ -4958,9 +4962,14 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_lsh_recall",
     f"""
-    WITH tok AS (
+    WITH sampled AS (
+        SELECT doc_id, text FROM documents
+        WHERE substr(md5(doc_id::VARCHAR || ':{_LSH_AUDIT_SALT}'), 1, 8)
+              < '{_LSH_AUDIT_HEX_CUT}'
+    ),
+    tok AS (
         SELECT doc_id AS doc, unnest(list_distinct({_TOK})) AS word
-        FROM documents
+        FROM sampled
     ),
     sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM tok GROUP BY doc),
     common AS (
@@ -4976,7 +4985,7 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sigs AS (
         SELECT doc_id, {', '.join(dd.minhash_signature_sql('text', 8))}
-        FROM documents
+        FROM sampled
     ),
     banded AS (
         SELECT doc_id, b.band_id,
@@ -5029,7 +5038,13 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r rows/band: collision p = 1-(1-s^r)^b) is the knob when the
     audit shows candidates dominated by sub-threshold pairs.
 
-    Scale shape: truth pairs come from the PPJoin prefix+length
+    Scale shape: the audit runs on a DETERMINISTIC ~20% md5 sample
+    (same predicate both engines, pushed to the scan) — an exact-
+    recall audit needs the exact pair set, whose cost grows with the
+    square of corpus density, so production audits a fixed slice and
+    lets the fraction be the cost knob (measured: full-corpus audit
+    36 s vs ~4 s sampled at sf0.1 on this template-dense corpus).
+    Within the sample: truth pairs come from the PPJoin prefix+length
     bounds (subquadratic under hot tokens), candidates shuffle on
     (band_id, band_hash) — O(docs × bands); the semi-join joins two
     already-tiny pair frames, and the final row is a cross of three
@@ -5038,7 +5053,18 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     by eyeballing known-duplicate rows (text_process.py:329-340);
     this is that check promoted to a measured, gated recall number.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(f":{_LSH_AUDIT_SALT}")
+                )
+            ),
+            1,
+            8,
+        )
+        < _LSH_AUDIT_HEX_CUT
+    )
     # ONE corpus scan: the distinct-token sets feed both the exact
     # (PPJoin) truth side and the MinHash signature side; both pair
     # frames are tiny, so checkpointing them keeps each chain — and
