@@ -100,6 +100,7 @@ HEADLINE = [
     "quality_drift_psi",
     "nb_calibration",
     "vocab_hll_audit",
+    "rule_ablation",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

@@ -421,3 +421,14 @@ def test_nb_calibration_reuses_confusion_chain(spark):
     assert "FileScan parquet" not in p, p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_rule_ablation_one_scoring_scan_plus_countstar(spark):
+    """Ablation shape: the rule chain runs in ONE scoring scan; the
+    corpus total is a second scan but count-star (no data columns —
+    parquet footer counts only), crossed in as a 1-row broadcast."""
+    p = plan_str(Q.queries()["rule_ablation"](spark, SF_ORACLE))
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 2, p
+    countstar = [l for l in scans if "ReadSchema: struct<>" in l]
+    assert len(countstar) == 1, scans

@@ -108,6 +108,7 @@ _WINDOW_FRONT = [
     "quality_drift_psi",
     "nb_calibration",
     "vocab_hll_audit",
+    "rule_ablation",
 ]
 _WINDOW_BACK = [
     # the 38 entries driver-verified green in CORRECTNESS_r03
@@ -5362,3 +5363,89 @@ def vocab_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             err.cast("double") / F.col("exact_distinct"), 6
         ).alias("rel_error"),
     ).filter(err * 100 <= F.col("exact_distinct") * 5)
+
+
+# ---------------------------------------------------------------------------
+# 73. Rule ablation — per-rule removal rates, total AND sole-cause: the
+#     table C4/Gopher publish when tuning thresholds (how much does each
+#     rule remove, and how much would relaxing ONLY it win back).
+# ---------------------------------------------------------------------------
+@register(
+    "rule_ablation",
+    f"""
+    WITH sig AS (
+        SELECT {T.n_words_sql('text')} AS n_words,
+               {_r6(T.mean_word_len_sql('text'))} AS mean_word_len,
+               {_r6(T.symbol_to_word_ratio_sql('text'))} AS symbol_ratio,
+               {T.stop_word_count_sql('text')} AS stop_word_count,
+               {_r6(T.dup_line_frac_sql('text'))} AS dup_line_frac,
+               {_r6(T.dup_ngram_frac_sql('text'))} AS dup_ngram_frac,
+               {_r6(T.alpha_word_frac_sql('text'))} AS alpha_word_frac,
+               {_r6(T.ellipsis_line_frac_sql('text'))} AS ellipsis_line_frac
+        FROM documents
+    ),
+    r AS (
+        SELECT list_filter({_RULE_CASES_SQL}, x -> x IS NOT NULL) AS reasons
+        FROM sig
+    ),
+    ex AS (
+        SELECT unnest(reasons) AS reason, (len(reasons) = 1) AS sole FROM r
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+    SELECT reason,
+           count(*)::BIGINT AS n_hit,
+           sum(CASE WHEN sole THEN 1 ELSE 0 END)::BIGINT AS n_sole,
+           round(count(*)::DOUBLE / n.n_docs, 6) AS hit_frac,
+           round(sum(CASE WHEN sole THEN 1 ELSE 0 END)::DOUBLE / n.n_docs, 6)
+               AS sole_frac
+    FROM ex, n
+    GROUP BY reason, n.n_docs
+    """,
+)
+def rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ablation: how many documents each quality rule fires
+    on (n_hit) and how many it is the SOLE reason for dropping
+    (n_sole — the docs a threshold relaxation would actually win
+    back; a rule with large n_hit but tiny n_sole is redundant with
+    its peers and can be tightened for free). This is the table
+    C4 §2.2 / Gopher App. A publish per filter when tuning, derived
+    here from the same drop_reasons payload the audit stage persists
+    — one rule table, two engine twins (CLAUDE.md dual-spec rule).
+
+    Scale shape: one scoring scan (single-tokenize shape) + one
+    ≤9-key aggregation; sole-ness is size(drop_reasons)=1 computed
+    BEFORE the explode, so no per-doc regroup exists. The corpus
+    count is a second scan but count-star over parquet footers (zero
+    columns read), crossed in as a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = q.drop_reasons(q.score_documents(docs))
+    # explode_outer + null filter, not explode — see rule_hit_profile
+    # (the inferred size>0 pre-filter re-inlines the whole rule chain)
+    ex = (
+        scored.select(
+            F.size("drop_reasons").alias("nr"),
+            F.explode_outer("drop_reasons").alias("reason"),
+        )
+        .filter(F.col("reason").isNotNull())
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    sole = F.when(F.col("nr") == 1, 1).otherwise(0)
+    return (
+        ex.groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+            F.sum(sole).cast("bigint").alias("n_sole"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "reason",
+            "n_hit",
+            "n_sole",
+            F.round(F.col("n_hit").cast("double") / F.col("n_docs"), 6).alias(
+                "hit_frac"
+            ),
+            F.round(F.col("n_sole").cast("double") / F.col("n_docs"), 6).alias(
+                "sole_frac"
+            ),
+        )
+    )
