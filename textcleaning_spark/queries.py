@@ -5157,14 +5157,15 @@ def _psi_bucket_sql() -> str:
                         AND c.bucket = g.bucket
     )
     SELECT grid.signal, grid.source, max(grid.n_s)::BIGINT AS n_docs,
-           round(sum(
+           round(sum(CAST(round(
                ((grid.c::DOUBLE + 0.5) / (grid.n_s::DOUBLE + 0.5 * tot.bcount)
                 - (grid.g::DOUBLE + 0.5) / (tot.n::DOUBLE + 0.5 * tot.bcount))
                * ln(((grid.c::DOUBLE + 0.5)
                      / (grid.n_s::DOUBLE + 0.5 * tot.bcount))
                     / ((grid.g::DOUBLE + 0.5)
                        / (tot.n::DOUBLE + 0.5 * tot.bcount)))
-           ), 6) AS psi
+               * 1000000000, 0) AS BIGINT))::BIGINT::DOUBLE
+               / 1000000000, 6) AS psi
     FROM grid JOIN tot ON tot.signal = grid.signal
     GROUP BY 1, 2
     """,
@@ -5256,9 +5257,17 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (F.col("c") + 0.5) / (F.col("n_s") + 0.5 * F.col("bcount"))
     qd = (F.col("g") + 0.5) / (F.col("n") + 0.5 * F.col("bcount"))
+    # per-term doubles are engine-identical (pure IEEE ops + one libm
+    # ln, rounded); the SUM is made order-independent by snapping each
+    # term to integer nano-units first (same fixed-point discipline as
+    # the NB log-odds) — float partial-sum order varies with partition
+    # layout and could flip the 6th decimal.
+    term_nano = F.round((p - qd) * F.log(p / qd) * 1e9, 0).cast("bigint")
     return grid.groupBy("signal", "source").agg(
         F.max("n_s").cast("bigint").alias("n_docs"),
-        F.round(F.sum((p - qd) * F.log(p / qd)), 6).alias("psi"),
+        F.round(
+            F.sum(term_nano).cast("double") / 1e9, 6
+        ).alias("psi"),
     )
 
 
