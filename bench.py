@@ -101,6 +101,7 @@ HEADLINE = [
     "nb_calibration",
     "vocab_hll_audit",
     "rule_ablation",
+    "span_novelty",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

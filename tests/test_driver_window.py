@@ -67,13 +67,14 @@ MUST_BE_IN_WINDOW = [
     "nb_calibration",
     "vocab_hll_audit",
     "rule_ablation",
+    "span_novelty",
 ]
 
 
 def test_registry_size():
     # The rotation comment in queries.py reasons about window budgets
     # from this number — pin it so the comment can't drift (ADVICE r3).
-    assert len(Q.queries()) == 98
+    assert len(Q.queries()) == 99
 
 
 def test_unverified_queries_inside_driver_window():

@@ -109,6 +109,7 @@ _WINDOW_FRONT = [
     "nb_calibration",
     "vocab_hll_audit",
     "rule_ablation",
+    "span_novelty",
 ]
 _WINDOW_BACK = [
     # the 38 entries driver-verified green in CORRECTNESS_r03
@@ -5456,5 +5457,98 @@ def rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_sole").cast("double") / F.col("n_docs"), 6).alias(
                 "sole_frac"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 74. Span novelty over corpus position — per-decile fraction of 8-gram
+#     span occurrences already seen earlier in the corpus: the "how much
+#     of each new slice is really new" curve an incremental ingest reads
+#     (span-granular complement of incremental_crawl_dedup).
+# ---------------------------------------------------------------------------
+@register(
+    "span_novelty",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOK} AS toks FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' ') AS span
+        FROM tok,
+             unnest(range(1, greatest(len(toks) - {_SPAN_W} + 2, 1)::BIGINT)) AS t(i)
+    ),
+    firsts AS (
+        SELECT span, min(doc_id) AS first_doc FROM sp GROUP BY span
+    ),
+    n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+    perdoc AS (
+        SELECT sp.doc_id,
+               count(*)::BIGINT AS n_spans,
+               sum(CASE WHEN f.first_doc < sp.doc_id THEN 1 ELSE 0 END)::BIGINT
+                   AS n_seen
+        FROM sp JOIN firsts f ON sp.span = f.span
+        GROUP BY sp.doc_id
+    )
+    SELECT least((doc_id * 10) // n.n_docs, 9)::BIGINT AS decile,
+           count(*)::BIGINT AS n_docs,
+           sum(n_spans)::BIGINT AS n_spans,
+           sum(n_seen)::BIGINT AS n_seen,
+           round(1.0 - sum(n_seen)::DOUBLE / sum(n_spans), 6) AS novelty_frac
+    FROM perdoc CROSS JOIN n
+    GROUP BY 1
+    """,
+)
+def span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty curve: for each corpus decile (doc_id order standing in
+    for crawl order), the fraction of its word 8-gram span occurrences
+    NOT seen in any earlier document. A healthy fresh crawl holds a
+    high plateau; a re-crawl-heavy snapshot shows the curve collapsing
+    — the signal that pays for turning on aggressive dedup before
+    training. Lee et al. 2022's most-common-duplication framing turned
+    into a per-slice report (span_contamination is the symmetric
+    per-document exposure; this one is ORDER-aware).
+
+    Scale shape: like vocab_growth_curve, seen-ness is linear, not
+    quadratic — a span's first occurrence (min doc_id, one span-keyed
+    shuffle with map-side partials) decides every later occurrence via
+    one back-join on the same span key; the per-doc regroup collapses
+    to ≤10 decile rows. At 100 TB the span key becomes xxhash64 —
+    8-byte shuffle keys — with the identical plan (the oracle pins the
+    string form). No force-broadcast anywhere: firsts grows with the
+    corpus, AQE decides the join strategy."""
+    docs = load_table(spark, sf_dir, "documents")
+    sp = _doc_word_spans(docs, _SPAN_W)
+    firsts = sp.groupBy("span").agg(F.min("doc_id").alias("first_doc"))
+    n = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    perdoc = (
+        sp.join(firsts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_seen"),
+        )
+    )
+    return (
+        perdoc.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.least(F.expr("div(doc_id * 10, n_docs)"), F.lit(9))
+            .cast("bigint")
+            .alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_spans").cast("bigint").alias("n_spans"),
+            F.sum("n_seen").cast("bigint").alias("n_seen"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("n_seen").cast("double") / F.sum("n_spans").cast("double"),
+                6,
+            ).alias("novelty_frac"),
         )
     )
