@@ -59,6 +59,8 @@ FLAGSHIP = [
     ("minhash_lsh_recall", "LSH recall audit — PPJoin-bounded truth pairs vs banded candidates; three scalar aggs crossed, gate filter in integer arithmetic"),
     ("quality_drift_psi", "drift monitor — single-tokenize scan + x3 explode collapse to ONE (signal,source,bucket) shuffle; PSI math on the tiny checkpointed frame"),
     ("nb_calibration", "NB reliability table — same scored chain as the confusion (vocab broadcast, one doc shuffle) + a <=21-key bin agg"),
+    ("rule_ablation", "rule ablation — one scoring scan + count-star footer scan; sole-ness decided before the explode, <=9-key agg"),
+    ("span_novelty", "novelty curve — first-occurrence linear form: span-keyed min + back-join on the same key, <=10-row decile agg, no forced broadcast"),
 ]
 
 
