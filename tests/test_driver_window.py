@@ -74,7 +74,9 @@ MUST_BE_IN_WINDOW = [
 def test_registry_size():
     # The rotation comment in queries.py reasons about window budgets
     # from this number — pin it so the comment can't drift (ADVICE r3).
-    assert len(Q.queries()) == 99
+    # 99 at the r4 window rotation + host_link_graph/host_pagerank
+    # (mid-zone, awaiting the round-5 rotation).
+    assert len(Q.queries()) == 101
 
 
 def test_unverified_queries_inside_driver_window():

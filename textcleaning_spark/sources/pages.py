@@ -123,8 +123,19 @@ def make_page(seed: int, i: int) -> tuple[str, datetime, bytes, str, str]:
         n_sent = 3 + _rng(seed, i, "n") % 4
         text = "\n".join(_sentence(seed, i, j, lang) for j in range(n_sent))
 
+    # deterministic outlinks: EMPTY anchors, so tag-stripping extraction
+    # (plans/pipeline.html_to_text_col) leaves the text byte-identical.
+    # 2-4 absolute links into the same 10k-host space as the urls (a
+    # real host graph), one path-relative link (resolves to own host),
+    # one mailto (dropped by links.resolve_host).
+    n_links = 2 + _rng(seed, i, "nl") % 3
+    nav = "".join(
+        f'<a href="https://example-{_rng(seed, i, f"l{j}") % 10_000:04d}'
+        f'.test/p/{j}"></a>'
+        for j in range(n_links)
+    ) + '<a href="/about"></a><a href="mailto:ops@example.test"></a>'
     html = (
-        f"<html><head><title>p{i}</title></head><body><p>"
+        f"<html><head><title>p{i}</title></head><body>{nav}<p>"
         + text.replace("\n", "</p><p>")
         + "</p></body></html>"
     ).encode("utf-8")
