@@ -74,9 +74,10 @@ MUST_BE_IN_WINDOW = [
 def test_registry_size():
     # The rotation comment in queries.py reasons about window budgets
     # from this number — pin it so the comment can't drift (ADVICE r3).
-    # 99 at the r4 window rotation + host_link_graph/host_pagerank
-    # (mid-zone, awaiting the round-5 rotation).
-    assert len(Q.queries()) == 101
+    # 99 at the r4 window rotation + host_link_graph/host_pagerank/
+    # tokenizer_fertility/script_mix_profile (mid-zone, awaiting the
+    # round-5 rotation).
+    assert len(Q.queries()) == 103
 
 
 def test_unverified_queries_inside_driver_window():

@@ -5737,3 +5737,137 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "host", "rank_nano", F.col("rank").alias("pagerank")
     ).orderBy(F.desc("rank_nano"), "host")
+
+
+# ---------------------------------------------------------------------------
+# 76. Tokenizer fertility + script-mixing profiles — the per-language
+#     capacity/cleanliness reports a pretraining mixture review reads.
+# ---------------------------------------------------------------------------
+@register(
+    "tokenizer_fertility",
+    f"""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum({T.n_words_sql("text")})::BIGINT AS n_tokens,
+           sum(length(text))::BIGINT AS n_chars,
+           sum(strlen(text))::BIGINT AS n_bytes,
+           round(sum(strlen(text))::DOUBLE
+                 / sum({T.n_words_sql("text")})::DOUBLE, 6)
+               AS bytes_per_token,
+           round(sum(length(text))::DOUBLE
+                 / sum({T.n_words_sql("text")})::DOUBLE, 6)
+               AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes/chars per whitespace token, by language — tokenizer
+    fertility, the number a mixture planner checks before setting
+    per-language token budgets (a byte-hungry script at fixed token
+    count means fewer documents per budget; multi-byte CJK shows ~3×
+    the bytes/char of Latin). Reference analogue: the per-office
+    document-length stats the reference prints per routing branch
+    (text_process.py:53-61 split + the length counts in
+    sna_analysis.py:162-168).
+
+    Scale shape: pure per-row native arithmetic folded into the scan
+    projection, ONE shuffle on lang (≤ dozens of keys, map-side
+    partials make hot languages safe), output is languages-sized.
+    All sums are BIGINT (exact); ratios divide the same two integers
+    in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    nw = T.n_words("text")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(nw).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(F.octet_length("text")).cast("bigint").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        F.round(
+            F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("bytes_per_token"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+# Unicode script classes as LITERAL codepoint ranges — the same pattern
+# text works under Java regex and RE2 (named script classes don't:
+# Java spells them \p{IsHangul}, RE2 \p{Hangul}). Hangul Syllables
+# block + CJK Unified Ideographs + basic Latin letters — exactly the
+# classes functions/langid.py votes on.
+_SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("hangul", "[가-힣]"),
+    ("han", "[一-鿿]"),
+    ("latin", "[A-Za-z]"),
+)
+
+
+@register(
+    "script_mix_profile",
+    f"""
+    WITH per_doc AS (
+        SELECT lang,
+               {", ".join(
+                   f"length(text) - length(regexp_replace(text, '{pat}', '', 'g'))"
+                   f" AS {name}"
+                   for name, pat in _SCRIPT_RANGES
+               )}
+        FROM documents
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(hangul)::BIGINT AS hangul_chars,
+           sum(han)::BIGINT AS han_chars,
+           sum(latin)::BIGINT AS latin_chars,
+           sum(CASE WHEN (hangul > 0)::INT + (han > 0)::INT
+                         + (latin > 0)::INT >= 2
+                    THEN 1 ELSE 0 END)::BIGINT AS n_mixed_script
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Unicode-script census + mixed-script document count
+    — script mixing inside one document is a classic spam/SEO-chaff
+    tell (keyword-stuffed pages splice scripts), and the per-script
+    char budget is what a CJK-aware tokenizer review starts from.
+    Batch twin of the script vote inside functions/langid.py (the
+    ja/ko/zh precedence stage); reference analogue: the KIPO/JPO vs
+    USPTO office routing it mirrors (text_process.py:53-59).
+
+    Scale shape: three codegen'd regexp passes per row folded into the
+    scan projection (no Python), ONE shuffle on lang with map-side
+    partials; output is languages-sized. All-integer output — exact
+    cross-engine by construction."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    per = docs.select(
+        "lang",
+        *[
+            (
+                F.length("text")
+                - F.length(F.regexp_replace(F.col("text"), pat, ""))
+            ).alias(name)
+            for name, pat in _SCRIPT_RANGES
+        ],
+    )
+    n_scripts = sum(
+        F.when(F.col(name) > 0, 1).otherwise(0) for name, _ in _SCRIPT_RANGES
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("hangul").cast("bigint").alias("hangul_chars"),
+        F.sum("han").cast("bigint").alias("han_chars"),
+        F.sum("latin").cast("bigint").alias("latin_chars"),
+        F.sum(F.when(n_scripts >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mixed_script"),
+    )
