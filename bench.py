@@ -102,6 +102,10 @@ HEADLINE = [
     "vocab_hll_audit",
     "rule_ablation",
     "span_novelty",
+    "host_link_graph",
+    "host_pagerank",
+    "tokenizer_fertility",
+    "script_mix_profile",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))
