@@ -106,6 +106,8 @@ HEADLINE = [
     "host_pagerank",
     "tokenizer_fertility",
     "script_mix_profile",
+    "host_harmonic_exact",
+    "hyperball_centrality_audit",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

@@ -74,10 +74,10 @@ MUST_BE_IN_WINDOW = [
 def test_registry_size():
     # The rotation comment in queries.py reasons about window budgets
     # from this number — pin it so the comment can't drift (ADVICE r3).
-    # 99 at the r4 window rotation + host_link_graph/host_pagerank/
-    # tokenizer_fertility/script_mix_profile (mid-zone, awaiting the
-    # round-5 rotation).
-    assert len(Q.queries()) == 103
+    # 99 at the r4 window rotation + the late-r4 mid-zone additions
+    # (link graph, pagerank, fertility, script mix, harmonic exact +
+    # hyperball audit), awaiting the round-5 rotation.
+    assert len(Q.queries()) == 105
 
 
 def test_unverified_queries_inside_driver_window():
@@ -99,6 +99,7 @@ def test_queries_and_oracles_consistent():
         "ann_lsh_topk",
         "ann_recall_vs_bruteforce",
         "embedding_near_dup_fast",
+        "hyperball_centrality_audit",
         "media_feature_profile",
         "ppl_cutoff_routing",
         "vocab_hll_audit",
