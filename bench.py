@@ -108,6 +108,7 @@ HEADLINE = [
     "script_mix_profile",
     "host_harmonic_exact",
     "hyperball_centrality_audit",
+    "bpe_fertility",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

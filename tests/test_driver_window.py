@@ -76,8 +76,9 @@ def test_registry_size():
     # from this number — pin it so the comment can't drift (ADVICE r3).
     # 99 at the r4 window rotation + the late-r4 mid-zone additions
     # (link graph, pagerank, fertility, script mix, harmonic exact +
-    # hyperball audit), awaiting the round-5 rotation.
-    assert len(Q.queries()) == 105
+    # hyperball audit, BPE merge table + fertility), awaiting the
+    # round-5 rotation.
+    assert len(Q.queries()) == 107
 
 
 def test_unverified_queries_inside_driver_window():
@@ -98,6 +99,8 @@ def test_queries_and_oracles_consistent():
         "ann_ivf_topk",
         "ann_lsh_topk",
         "ann_recall_vs_bruteforce",
+        "bpe_fertility",
+        "bpe_merge_table",
         "embedding_near_dup_fast",
         "hyperball_centrality_audit",
         "media_feature_profile",

@@ -6002,3 +6002,91 @@ def hyperball_centrality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host", "harmonic", "harmonic_est", "rel_error")
         .orderBy(F.desc("harmonic"), "host")
     )
+
+
+# ---------------------------------------------------------------------------
+# 78. BPE subword tokenizer: corpus-trained merge table + fertility —
+#     the vocabulary-planning loop of a pretraining data pipeline
+#     (Sennrich et al. 2016; operators/bpe.py has the scale story).
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 16
+
+
+@register("bpe_merge_table")  # rows-only: training is an iterative
+# argmax loop no SQL engine replays; the gate is in-query (rows vanish
+# unless every vocab word round-trips through the learned tokenizer)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table (rank, pair, merged symbol, summed
+    support), trained distributively on the corpus word-frequency
+    table and GATED in-query on the tokenizer's reconstruction
+    identity: every vocabulary word must detokenize back to itself
+    (concat of its BPE symbols == word + '</w>'), else all rows
+    vanish and the driver's rows-only count catches it.
+
+    Training is deterministic (max support, ties to the smallest
+    pair — a total order), so the output rows are stable across runs
+    and partitionings; tests/test_bpe.py holds the distributed
+    trainer differential-equal to its sequential twin."""
+    from textcleaning_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = bpe.word_vocab(docs).localCheckpoint(eager=False)
+    merges = bpe.train_bpe(vocab, n_merges=_BPE_MERGES)
+    detok = bpe.detok_udf(merges)
+    bad = vocab.filter(
+        detok(F.col("word")) != F.concat(F.col("word"), F.lit(bpe.END))
+    ).agg(F.count(F.lit(1)).alias("n_bad"))
+    table = spark.createDataFrame(
+        [(i, a, b, a + b, s) for i, (a, b, s) in enumerate(merges)],
+        "rank int, sym_a string, sym_b string, merged string, support bigint",
+    )
+    return (
+        table.crossJoin(bad)
+        .filter(F.col("n_bad") == 0)
+        .select("rank", "sym_a", "sym_b", "merged", "support")
+        .orderBy("rank")
+    )
+
+
+@register("bpe_fertility")  # rows-only: tokenization applies the
+# learned merges in a pandas UDF; sanity bounds are in-query
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokens per whitespace word, by language — the fertility
+    check a vocabulary review runs before pinning a tokenizer (a
+    language whose fertility stays near chars-per-word is being
+    spelled out letter-by-letter and needs vocab budget). Bounded
+    in-query: fertility must land in [1, 1 + chars/word] (BPE can
+    never emit fewer than one or more than chars+1 symbols per word),
+    so a broken merge application empties the row set.
+
+    Scale shape: training touches only the word-frequency table
+    (operators/bpe.py); the corpus-sized pass is ONE Arrow-batched
+    pandas UDF with the merge ranks riding the closure, then one
+    lang-keyed aggregate with map-side partials."""
+    from textcleaning_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    vocab = bpe.word_vocab(docs).localCheckpoint(eager=False)
+    merges = bpe.train_bpe(vocab, n_merges=_BPE_MERGES)
+    n_bpe = bpe.bpe_tokens_udf(merges)
+    per = docs.select(
+        "lang",
+        T.n_words("text").alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("n_chars"),
+        n_bpe(T.tokens("text")).alias("n_bpe"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    fert = F.round(
+        F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double"), 6
+    )
+    ceiling = (
+        F.col("n_chars").cast("double") / F.col("n_words").cast("double") + 1.0
+    )
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_bpe_tokens", fert.alias("bpe_fertility")
+    ).filter((fert >= 1.0) & (fert <= ceiling))
