@@ -109,6 +109,8 @@ HEADLINE = [
     "host_harmonic_exact",
     "hyperball_centrality_audit",
     "bpe_fertility",
+    "cms_heavy_hitters",
+    "decontam_bloom_prefilter",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

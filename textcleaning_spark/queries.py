@@ -6090,3 +6090,260 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "lang", "n_docs", "n_words", "n_bpe_tokens", fert.alias("bpe_fertility")
     ).filter((fert >= 1.0) & (fert <= ceiling))
+
+
+# ---------------------------------------------------------------------------
+# 79. Count-Min heavy-hitters audit — the third sketch family (HLL
+#     cardinality, HyperBall centrality, CMS frequency): estimate any
+#     word's frequency from a fixed d×w table instead of the full
+#     vocabulary (Cormode & Muthukrishnan 2005).
+# ---------------------------------------------------------------------------
+_CMS_SEEDS = ("a", "b", "c")  # d = 3 rows
+_CMS_TOPK = 20
+# w = 256 buckets per row: substr(md5(seed:word), 1, 2) — md5-bucketed
+# so the DuckDB oracle replays the sketch EXACTLY (unlike HLL++, whose
+# register layout is engine-private — vocab_hll_audit stays rows-only)
+_CMS_SEED_SQL = (
+    "(SELECT unnest(["
+    + ", ".join(f"'{s}'" for s in _CMS_SEEDS)
+    + "]) AS seed)"
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH tok AS (
+        SELECT unnest({_TOK}) AS word FROM documents
+    ),
+    wc AS (
+        SELECT word, count(*)::BIGINT AS cnt
+        FROM tok WHERE word <> '' GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt)::BIGINT AS n FROM wc),
+    cms AS (
+        SELECT s.seed,
+               substr(md5(s.seed || ':' || word), 1, 2) AS bucket,
+               sum(cnt)::BIGINT AS c
+        FROM wc, {_CMS_SEED_SQL} s
+        GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {_CMS_TOPK}
+    ),
+    est AS (
+        SELECT t.word, t.cnt, min(c.c)::BIGINT AS cms_est
+        FROM topk t
+        CROSS JOIN {_CMS_SEED_SQL} s
+        JOIN cms c ON c.seed = s.seed
+                  AND c.bucket = substr(md5(s.seed || ':' || t.word), 1, 2)
+        GROUP BY 1, 2
+    )
+    SELECT word, cnt AS exact_count, cms_est,
+           (cms_est - cnt)::BIGINT AS overestimate,
+           round((cms_est - cnt)::DOUBLE / (SELECT n FROM tot), 6)
+               AS overestimate_frac
+    FROM est
+    WHERE cms_est >= cnt
+    ORDER BY exact_count DESC, word
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates for the exact top-k words,
+    with the CMS hard guarantee as the in-query gate: an estimate can
+    only OVER-count (every occurrence lands in all d counters), so
+    ``cms_est >= exact`` holds for every word and a broken sketch
+    makes rows vanish. The reported ``overestimate_frac`` is the
+    collision mass against the ε = e/w bound.
+
+    Scale shape: the sketch is a FIXED d×w = 3×256 table built by one
+    (seed, bucket)-keyed aggregate over the word table — at 10¹² docs
+    the frequency oracle for ANY word (hot-shingle guards, stop-list
+    candidates, boilerplate thresholds) costs 768 rows instead of a
+    10⁸-row vocabulary; estimates are a broadcast-join against it.
+    The audit's exact top-k side is TakeOrderedAndProject over the
+    same word table. md5 bucketing keeps both engines bit-identical
+    (same discipline as minhash_signatures)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    seeds = F.explode(F.array(*[F.lit(s) for s in _CMS_SEEDS])).alias("seed")
+    wc = (
+        docs.select(F.explode(T.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # wc feeds cms, topk and total
+    )
+    tot = wc.agg(F.sum("cnt").cast("bigint").alias("n"))
+
+    def bucket(seed_col: Column, word_col: Column) -> Column:
+        return F.substring(
+            F.md5(F.concat(seed_col, F.lit(":"), word_col)), 1, 2
+        )
+
+    cms = (
+        wc.select("word", "cnt", seeds)
+        .select("cnt", "seed", bucket(F.col("seed"), F.col("word")).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    topk = wc.orderBy(F.desc("cnt"), "word").limit(_CMS_TOPK)
+    est = (
+        topk.select("word", "cnt", seeds)
+        .withColumn("bucket", bucket(F.col("seed"), F.col("word")))
+        .join(cms, ["seed", "bucket"])
+        .groupBy("word", "cnt")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(tot)
+        .select(
+            "word",
+            F.col("cnt").alias("exact_count"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).cast("bigint").alias("overestimate"),
+            F.round(
+                (F.col("cms_est") - F.col("cnt")).cast("double") / F.col("n"), 6
+            ).alias("overestimate_frac"),
+        )
+        .filter(F.col("cms_est") >= F.col("exact_count"))
+        .orderBy(F.desc("exact_count"), "word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 80. Bloom-prefiltered decontamination — benchmark_decontam's scale
+#     variant: eval-span membership pushed to the training scan as
+#     pure bit arithmetic, the exact join sees only bloom survivors.
+#     Bloom filters have NO false negatives, so the result is row-
+#     identical to the exact query and shares its oracle shape.
+# ---------------------------------------------------------------------------
+_BLOOM_K = 5  # hash functions; fpp ≈ (1 - e^{-kn/m})^k
+_BLOOM_BITS_PER_ELEM = 32  # auto-size: with k=5, fpp ≈ (0.144)^5 ≈ 6e-5
+_BLOOM_MIN_BITS = 1 << 14
+
+
+def _bloom_bits(n_elems: int) -> int:
+    """Bitmap size for ``n_elems`` members: 32 bits/element rounded up
+    to a power of two (same auto-sizing discipline as the LSH plane
+    count, similarity.py) — an eval set that grows 10× keeps its fpp
+    instead of silently saturating the filter."""
+    bits = _BLOOM_MIN_BITS
+    while bits < _BLOOM_BITS_PER_ELEM * n_elems:
+        bits <<= 1
+    return bits
+
+
+def _bloom_positions(span_col, bits: int, k: int = _BLOOM_K):
+    """k bit positions per span: xxhash64(span, salt_i) mod m — native,
+    seed-fixed, deterministic across runs and engines' partitions."""
+    return [
+        F.pmod(F.xxhash64(span_col, F.lit(i)), F.lit(bits)) for i in range(k)
+    ]
+
+
+def _bloom_might_contain(span_col, bitmap_col, bits: int):
+    test = F.lit(True)
+    for pos in _bloom_positions(span_col, bits):
+        # call_function: the python shiftleft/shiftright wrappers only
+        # take literal ints, the SQL functions take any expression
+        word = F.element_at(
+            bitmap_col,
+            F.call_function("shiftright", pos, F.lit(6)).cast("int") + 1,
+        )
+        bit = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod(pos, F.lit(64)).cast("int"),
+        )
+        test = test & (word.bitwiseAND(bit) != 0)
+    return test
+
+
+@register(
+    "decontam_bloom_prefilter",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOK} AS toks FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' ') AS span
+        FROM tok,
+             unnest(range(1, greatest(len(toks) - {_SPAN_W} + 2, 1)::BIGINT)) AS t(i)
+    ),
+    ev AS (
+        SELECT DISTINCT span FROM sp WHERE doc_id % 7 = 0
+    ),
+    train AS (SELECT doc_id, span FROM sp WHERE doc_id % 7 <> 0),
+    base AS (
+        SELECT doc_id, count(*)::BIGINT AS n_spans FROM train GROUP BY 1
+    ),
+    hits AS (
+        SELECT doc_id, count(*)::BIGINT AS n_eval_hits
+        FROM train WHERE EXISTS (SELECT 1 FROM ev WHERE ev.span = train.span)
+        GROUP BY 1
+    )
+    SELECT base.doc_id, base.n_spans, hits.n_eval_hits,
+           round(hits.n_eval_hits::DOUBLE / base.n_spans, 6) AS overlap
+    FROM base JOIN hits ON hits.doc_id = base.doc_id
+    """,
+)
+def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """benchmark_decontam with the membership test a 100 TB job runs
+    FIRST: the distinct eval spans are folded into a 16-kbit Bloom
+    bitmap (built distributively — k×|eval| bit positions are the only
+    thing collected), the bitmap rides the plan as a 256-long literal,
+    and every training span is tested scan-side with 5 xxhash64+bit
+    ops BEFORE any join. Only bloom survivors (true hits + ~fpp of
+    the corpus) reach the exact semi-join that removes false
+    positives; no false negatives exist, so the output is row-
+    identical to the exact query — which is exactly what the shared
+    oracle checks.
+
+    Why it matters at scale: the exact query's broadcast hash relation
+    holds every eval span STRING; the bloom is ~10× smaller and the
+    test is branch-free bit math inside whole-stage codegen, so the
+    join machinery (hashing, probing, null handling) runs on ~0.01%
+    of the training spans instead of all of them. Spark's own runtime
+    row-level filtering applies the same pattern to shuffle joins;
+    here it is explicit and auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    sp = _doc_word_spans(docs, _SPAN_W)
+    is_eval = F.col("doc_id") % 7 == 0
+    ev = sp.filter(is_eval).select("span").distinct().localCheckpoint(eager=False)
+    bits = _bloom_bits(ev.count())
+    # distributed bitmap build: k positions per span, distinct, tiny
+    pos_rows = (
+        ev.select(
+            F.explode(F.array(*_bloom_positions(F.col("span"), bits))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (bits // 64)
+    for r in pos_rows:
+        p = int(r["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.array(*[F.lit(w).cast("long") for w in signed])
+
+    train = sp.filter(~is_eval).localCheckpoint(eager=False)
+    base = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans")
+    )
+    survivors = train.withColumn("__bm", bitmap).filter(
+        _bloom_might_contain(F.col("span"), F.col("__bm"), bits)
+    )
+    hits = (
+        survivors.join(ev, "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"))
+    )
+    return base.join(hits, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "n_eval_hits",
+        F.round(
+            F.col("n_eval_hits").cast("double") / F.col("n_spans"), 6
+        ).alias("overlap"),
+    )
