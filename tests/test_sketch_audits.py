@@ -10,6 +10,7 @@ from textcleaning_spark import queries as Q
 from textcleaning_spark.functions import text as T
 from textcleaning_spark.queries import (
     _SPAN_W,
+    _bloom_bitmap_lit,
     _bloom_bits,
     _bloom_might_contain,
     _bloom_positions,
@@ -21,19 +22,19 @@ SF = "/root/testdata/sf0.01"
 
 
 def _bitmap_col(spark, ev, bits):
-    rows = (
+    pos = (
         ev.select(
             F.explode(F.array(*_bloom_positions(F.col("span"), bits))).alias("p")
         )
         .distinct()
-        .collect()
+        .toPandas()["p"]
     )
     words = [0] * (bits // 64)
-    for r in rows:
-        p = int(r["p"])
+    for p in pos:
+        p = int(p)
         words[p >> 6] |= 1 << (p & 63)
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    return F.array(*[F.lit(w).cast("long") for w in signed])
+    return _bloom_bitmap_lit(signed)
 
 
 def test_bloom_no_false_negatives_and_selective(spark):

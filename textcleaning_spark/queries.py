@@ -6241,6 +6241,19 @@ def _bloom_positions(span_col, bits: int, k: int = _BLOOM_K):
     ]
 
 
+def _bloom_bitmap_lit(signed_words: list[int]):
+    """The bitmap as ONE plan literal. Neither obvious spelling works:
+    ``F.array(*lits)`` is a CreateArray with |bitmap| children that
+    codegen re-materializes PER ROW (measured 52 s at sf0.1), and
+    ``F.lit(list)`` builds |bitmap| Column objects through py4j
+    (measured ~13 s of driver time). ``from_json`` of one string
+    literal costs one py4j call and is constant-folded by Catalyst
+    into a single array Literal before execution (~1 s total)."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(signed_words)), "array<bigint>")
+
+
 def _bloom_might_contain(span_col, bitmap_col, bits: int):
     test = F.lit(True)
     for pos in _bloom_positions(span_col, bits):
@@ -6306,26 +6319,34 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join machinery (hashing, probing, null handling) runs on ~0.01%
     of the training spans instead of all of them. Spark's own runtime
     row-level filtering applies the same pattern to shuffle joins;
-    here it is explicit and auditable."""
+    here it is explicit and auditable. Honest bench-scale accounting:
+    at sf0.1 this runs ~3 s vs the exact query's ~1 s — the bitmap
+    build (eval distinct + position collect) is a FIXED cost that
+    only amortizes when the training side dwarfs it; the win arrives
+    when eval span sets reach the size where a string hash relation
+    stops broadcasting cheaply."""
     docs = load_table(spark, sf_dir, "documents")
-    sp = _doc_word_spans(docs, _SPAN_W)
+    # ONE span materialization feeds the eval side, the bitmap build
+    # and the training side (un-checkpointed, the tokenize+explode
+    # pass re-runs for each of the four consumers)
+    sp = _doc_word_spans(docs, _SPAN_W).localCheckpoint(eager=False)
     is_eval = F.col("doc_id") % 7 == 0
     ev = sp.filter(is_eval).select("span").distinct().localCheckpoint(eager=False)
     bits = _bloom_bits(ev.count())
     # distributed bitmap build: k positions per span, distinct, tiny
-    pos_rows = (
+    pos = (
         ev.select(
             F.explode(F.array(*_bloom_positions(F.col("span"), bits))).alias("p")
         )
         .distinct()
-        .collect()
+        .toPandas()["p"]
     )
     words = [0] * (bits // 64)
-    for r in pos_rows:
-        p = int(r["p"])
+    for p in pos:
+        p = int(p)
         words[p >> 6] |= 1 << (p & 63)
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bitmap = F.array(*[F.lit(w).cast("long") for w in signed])
+    bitmap = _bloom_bitmap_lit(signed)
 
     train = sp.filter(~is_eval).localCheckpoint(eager=False)
     base = train.groupBy("doc_id").agg(
