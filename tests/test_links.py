@@ -146,3 +146,38 @@ def test_pages_text_untouched_by_links(spark):
         flat = " ".join(row["text"].split())
         i = row["url"].rsplit("/", 1)[1]  # '<title>p{i}</title>' survives
         assert extracted == f"p{i} {flat}", row["url"]
+
+
+NOINDEX_CASES = [
+    ('<meta name="robots" content="noindex,nofollow">', True),
+    ('<meta name="robots" content="nofollow, noindex">', True),
+    ('<meta content="noindex" name="robots">', True),
+    ('<meta name="robots" content="nofollow">', False),
+    ('<meta name="googlebot" content="noindex">', False),  # scope: robots only
+    ("<p>noindex mentioned in prose</p>", False),
+    ("<html><body>nothing</body></html>", False),
+]
+
+
+def test_meta_noindex_differential(spark):
+    from textcleaning_spark.functions.links import meta_noindex, meta_noindex_py
+
+    htmls = [f"<html><head>{m}</head><body>x</body></html>".encode() for m, _ in NOINDEX_CASES]
+    df = spark.createDataFrame([(h,) for h in htmls], "html binary")
+    got = [r["f"] for r in df.select(meta_noindex("html").alias("f")).collect()]
+    want = [w for _, w in NOINDEX_CASES]
+    assert got == want
+    assert [meta_noindex_py(h) for h in htmls] == want
+
+
+def test_drop_noindex_matches_planted_set(spark):
+    """The generator plants noindex on a deterministic hash-gated ~10%;
+    the filter must drop exactly that set (and nothing content-based)."""
+    from textcleaning_spark.functions.links import drop_noindex, meta_noindex_py
+    from textcleaning_spark.sources.pages import generate_pages_pdf
+
+    pdf = generate_pages_pdf(400, seed=7)
+    planted = {row["url"] for _, row in pdf.iterrows() if meta_noindex_py(row["html"])}
+    assert 10 <= len(planted) <= 80  # ~10% of 400
+    kept = {r["url"] for r in drop_noindex(generate_pages(spark, 400, seed=7)).select("url").collect()}
+    assert kept == set(pdf["url"]) - planted

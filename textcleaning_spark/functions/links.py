@@ -75,6 +75,35 @@ def resolve_host(href: Column, src_host: Column) -> Column:
     )
 
 
+# robots meta directive: both attribute orders (name before content and
+# content before name), double-quoted values, 'noindex' anywhere in the
+# content list. Honoring noindex is a baseline crawl-politeness /
+# compliance requirement — pages asking to stay out of indexes should
+# be dropped BEFORE any quality scoring spends cycles on them.
+_NOINDEX_RES = (
+    r'(?i)<meta\s[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"[^"]*noindex',
+    r'(?i)<meta\s[^>]*content\s*=\s*"[^"]*noindex[^"]*"[^>]*name\s*=\s*"robots"',
+)
+
+
+def meta_noindex(html_col: Column | str) -> Column:
+    """True iff the page carries ``<meta name="robots" … noindex …>``.
+    Native decode + two rlike passes, scan-side; false for null html."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    s = F.decode(c, "UTF-8")
+    return F.coalesce(
+        s.rlike(_NOINDEX_RES[0]) | s.rlike(_NOINDEX_RES[1]), F.lit(False)
+    )
+
+
+def drop_noindex(pages):
+    """Politeness pre-filter for the pages pipeline: remove noindex
+    pages before extraction/scoring. Not part of the reference-parity
+    keep verdict (the north-star F1 contract is about CONTENT rules) —
+    a crawl applies this upstream of quality filtering."""
+    return pages.filter(~meta_noindex(F.col("html")))
+
+
 # --- Python twins (differential-tested) -------------------------------------
 
 _CANON_STEPS_PY: tuple[tuple[str, str], ...] = (
@@ -87,6 +116,11 @@ _CANON_STEPS_PY: tuple[tuple[str, str], ...] = (
 def outlink_hrefs_py(html: bytes | str) -> list[str]:
     s = html.decode("utf-8") if isinstance(html, (bytes, bytearray)) else html
     return re.findall(_HREF_RE, s)
+
+
+def meta_noindex_py(html: bytes | str) -> bool:
+    s = html.decode("utf-8") if isinstance(html, (bytes, bytearray)) else html
+    return any(re.search(p, s) for p in _NOINDEX_RES)
 
 
 def resolve_host_py(href: str, src_host: str) -> str | None:

@@ -134,8 +134,17 @@ def make_page(seed: int, i: int) -> tuple[str, datetime, bytes, str, str]:
         f'.test/p/{j}"></a>'
         for j in range(n_links)
     ) + '<a href="/about"></a><a href="mailto:ops@example.test"></a>'
+    # deterministic ~10% of pages carry <meta robots noindex> — the
+    # crawl-politeness signal links.meta_noindex extracts; hash-gated
+    # independently of cls so keep/drop class semantics are untouched
+    # (meta tags strip to nothing, text stays byte-identical)
+    robots = (
+        '<meta name="robots" content="noindex,nofollow">'
+        if _rng(seed, i, "rb") % 10 == 0
+        else ""
+    )
     html = (
-        f"<html><head><title>p{i}</title></head><body>{nav}<p>"
+        f"<html><head><title>p{i}</title>{robots}</head><body>{nav}<p>"
         + text.replace("\n", "</p><p>")
         + "</p></body></html>"
     ).encode("utf-8")
