@@ -66,6 +66,8 @@ FLAGSHIP = [
     ("host_harmonic_exact", "exact truncated harmonic — frontier anti-joins keep the pair frame minimal; nano-snapped 1/d integer sums"),
     ("tokenizer_fertility", "fertility — per-row native byte/char/token arithmetic in the scan project, one lang-keyed agg"),
     ("script_mix_profile", "script census — three codegen'd regexp passes scan-side, one lang-keyed agg"),
+    ("cms_heavy_hitters", "CMS audit — fixed 3x256 sketch agg + TakeOrderedAndProject top-k, estimates via broadcast join against the 768-row sketch"),
+    ("decontam_bloom_prefilter", "bloom prefilter — bitmap constant-folded to ONE array literal, 5 xxhash64+bit tests scan-side before the exact semi-join"),
 ]
 
 

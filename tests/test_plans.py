@@ -432,3 +432,31 @@ def test_rule_ablation_one_scoring_scan_plus_countstar(spark):
     assert len(scans) == 2, p
     countstar = [l for l in scans if "ReadSchema: struct<>" in l]
     assert len(countstar) == 1, scans
+
+
+def test_bloom_bitmap_is_single_literal(spark):
+    """The bloom bitmap must be constant-folded into ONE array literal:
+    a CreateArray with |bitmap| children re-materializes per row
+    (measured 52 s vs ~3 s at sf0.1) and from_json must not survive to
+    the executed plan."""
+    df = Q.queries()["decontam_bloom_prefilter"](spark, SF_ORACLE)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "from_json" not in p
+    assert "might_contain" not in p  # ours is bit math, not the internal expr
+    # the membership test stays native: no Python stage anywhere
+    assert "Python" not in plan_str(df)
+
+
+def test_cms_topk_no_global_sort(spark):
+    """Exact top-k candidates come from TakeOrderedAndProject, not a
+    global sort of the word table; the final tiny result may sort."""
+    p = plan_str(Q.queries()["cms_heavy_hitters"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_linkgraph_edges_partial_agg(spark):
+    """host_link_graph's single shuffle is a real aggregate: map-side
+    partial_count before the exchange bounds hub hosts."""
+    p = plan_str(Q.queries()["host_link_graph"](spark, SF_ORACLE))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p
