@@ -111,6 +111,7 @@ HEADLINE = [
     "bpe_fertility",
     "cms_heavy_hitters",
     "decontam_bloom_prefilter",
+    "token_budget_allocation",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

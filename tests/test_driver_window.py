@@ -77,8 +77,9 @@ def test_registry_size():
     # 99 at the r4 window rotation + the late-r4 mid-zone additions
     # (link graph, pagerank, fertility, script mix, harmonic exact +
     # hyperball audit, BPE merge table + fertility, CMS heavy hitters,
-    # bloom-prefiltered decontam), awaiting the round-5 rotation.
-    assert len(Q.queries()) == 109
+    # bloom-prefiltered decontam, token-budget water-filling), awaiting
+    # the round-5 rotation.
+    assert len(Q.queries()) == 110
 
 
 def test_unverified_queries_inside_driver_window():

@@ -6368,3 +6368,192 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_eval_hits").cast("double") / F.col("n_spans"), 6
         ).alias("overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 81. Token-budget allocation (water-filling under per-source caps) —
+#     the step AFTER temperature weights: a small language's q-share
+#     can exceed what it has; the classic water-filling closed form
+#     allocates t_l = min(a_l, λ·w_l) with Σ t_l = T, all integer.
+# ---------------------------------------------------------------------------
+_ALLOC_FRACTION_DEN = 2  # target budget T = floor(total_tokens / 2)
+
+
+@register(
+    "token_budget_allocation",
+    f"""
+    WITH avail AS (
+        SELECT lang, sum({T.n_words_sql("text")})::BIGINT AS a
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(a)::BIGINT AS total_a FROM avail),
+    tgt AS (
+        SELECT CAST(FLOOR(total_a::DOUBLE / {_ALLOC_FRACTION_DEN}) AS BIGINT)
+            AS t
+        FROM tot
+    ),
+    w AS (
+        SELECT lang, a,
+               CAST(round(pow(a::DOUBLE, {_SAMPLING_ALPHA}) * 1000000, 0)
+                   AS BIGINT) AS w
+        FROM avail
+    ),
+    sorted AS (
+        SELECT lang, a, w,
+               row_number() OVER
+                   (ORDER BY a::DOUBLE / w::DOUBLE, lang) AS p,
+               sum(a) OVER (ORDER BY a::DOUBLE / w::DOUBLE, lang
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_a,
+               sum(w) OVER (ORDER BY a::DOUBLE / w::DOUBLE, lang
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_w
+        FROM w
+    ),
+    wtot AS (SELECT sum(w)::BIGINT AS total_w FROM w),
+    cand AS (
+        SELECT 0::BIGINT AS k, 0::BIGINT AS cum_a, 0::BIGINT AS cum_w
+        UNION ALL
+        SELECT p, cum_a, cum_w FROM sorted
+    ),
+    valid AS (
+        SELECT c.k,
+               (SELECT t FROM tgt) - c.cum_a AS num,
+               (SELECT total_w FROM wtot) - c.cum_w AS den
+        FROM cand c
+        LEFT JOIN sorted bk ON bk.p = c.k
+        LEFT JOIN sorted bn ON bn.p = c.k + 1
+        WHERE (SELECT t FROM tgt) - c.cum_a >= 0
+          AND (SELECT total_w FROM wtot) - c.cum_w > 0
+          AND (bk.p IS NULL OR
+               bk.a * ((SELECT total_w FROM wtot) - c.cum_w)
+                   <= ((SELECT t FROM tgt) - c.cum_a) * bk.w)
+          AND (bn.p IS NULL OR
+               bn.a * ((SELECT total_w FROM wtot) - c.cum_w)
+                   > ((SELECT t FROM tgt) - c.cum_a) * bn.w)
+    )
+    SELECT s.lang,
+           s.a AS available_tokens,
+           s.w AS weight_micro,
+           CASE WHEN s.p <= v.k THEN s.a
+                ELSE CAST(FLOOR(CAST(v.num * s.w AS DOUBLE) / v.den)
+                          AS BIGINT) END AS allocated_tokens,
+           (s.p <= v.k) AS capped
+    FROM sorted s CROSS JOIN valid v
+    ORDER BY s.lang
+    """,
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token allocation: given per-language availability
+    a_l (kept tokens in the corpus), temperature weights w_l ∝
+    a_l^0.3 (the lang_sampling_weights scheme, snapped to integer
+    micro-units), and a training budget T = half the corpus, allocate
+    t_l = min(a_l, λ·w_l) with Σ t_l = T — the step every mixture
+    plan needs once a small language's temperature share exceeds what
+    it HAS. Closed form: sort by a/w, find the unique breakpoint k
+    where languages 1..k saturate their caps and the rest share the
+    remainder in weight proportion.
+
+    Exactness: availability, weights and the budget are integers; the
+    breakpoint conditions are integer cross-multiplications (no λ
+    float ever compared); per-language allocations floor an exact-in-
+    double product/quotient — both engines bit-equal, every row
+    oracle-checked. The only doubles are the a/w SORT keys, identical
+    IEEE divisions in both engines with a lang tie-break.
+
+    Scale shape: everything after the one lang-keyed corpus aggregate
+    operates on a languages-sized frame (the single-partition window
+    is over ≤ dozens of rows — bounded by construction, not by data).
+    Reference analogue: the per-office corpus shares the reference
+    prints before choosing its per-office document samples
+    (text_process.py:53-61)."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    avail = docs.groupBy("lang").agg(
+        F.sum(T.n_words("text")).cast("bigint").alias("a")
+    )
+    return _waterfill(spark, avail).orderBy("lang")
+
+
+def _waterfill(spark: SparkSession, avail: DataFrame) -> DataFrame:
+    """The water-filling core over an (lang, a) availability frame —
+    factored out so tests can drive adversarial distributions
+    (capped small sources, extreme skew) against a sequential twin."""
+    w = avail.select(
+        "lang",
+        "a",
+        F.round(F.pow(F.col("a").cast("double"), F.lit(_SAMPLING_ALPHA)) * 1e6, 0)
+        .cast("bigint")
+        .alias("w"),
+    ).localCheckpoint(eager=False)  # tiny; feeds sorted/wtot/tot
+    ratio = F.col("a").cast("double") / F.col("w").cast("double")
+    win = Window.orderBy(ratio, "lang")
+    cum = Window.orderBy(ratio, "lang").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    srt = w.select(
+        "lang",
+        "a",
+        "w",
+        F.row_number().over(win).cast("bigint").alias("p"),
+        F.sum("a").over(cum).cast("bigint").alias("cum_a"),
+        F.sum("w").over(cum).cast("bigint").alias("cum_w"),
+    ).localCheckpoint(eager=False)
+    tot = w.agg(
+        F.sum("a").cast("bigint").alias("total_a"),
+        F.sum("w").cast("bigint").alias("total_w"),
+    )
+    cand = (
+        srt.select("p", "cum_a", "cum_w")
+        .unionByName(
+            spark.createDataFrame(
+                [(0, 0, 0)], "p bigint, cum_a bigint, cum_w bigint"
+            )
+        )
+        .crossJoin(tot)
+        .select(
+            F.col("p").alias("k"),
+            (
+                F.floor(F.col("total_a").cast("double") / _ALLOC_FRACTION_DEN)
+                .cast("bigint")
+                - F.col("cum_a")
+            ).alias("num"),
+            (F.col("total_w") - F.col("cum_w")).alias("den"),
+        )
+    )
+    bk = srt.select(
+        F.col("p").alias("k"), F.col("a").alias("a_k"), F.col("w").alias("w_k")
+    )
+    bn = srt.select(
+        (F.col("p") - 1).alias("k"),
+        F.col("a").alias("a_n"),
+        F.col("w").alias("w_n"),
+    )
+    valid = (
+        cand.join(bk, "k", "left")
+        .join(bn, "k", "left")
+        .filter(
+            (F.col("num") >= 0)
+            & (F.col("den") > 0)
+            & (
+                F.col("a_k").isNull()
+                | (F.col("a_k") * F.col("den") <= F.col("num") * F.col("w_k"))
+            )
+            & (
+                F.col("a_n").isNull()
+                | (F.col("a_n") * F.col("den") > F.col("num") * F.col("w_n"))
+            )
+        )
+        .select("k", "num", "den")
+    )
+    out = srt.crossJoin(valid).select(
+        "lang",
+        F.col("a").alias("available_tokens"),
+        F.col("w").alias("weight_micro"),
+        F.when(F.col("p") <= F.col("k"), F.col("a"))
+        .otherwise(
+            F.floor(
+                (F.col("num") * F.col("w")).cast("double") / F.col("den")
+            ).cast("bigint")
+        )
+        .alias("allocated_tokens"),
+        (F.col("p") <= F.col("k")).alias("capped"),
+    )
+    return out
