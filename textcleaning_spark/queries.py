@@ -54,7 +54,12 @@ def register(name: str, sql: str | None = None):
 # oracle-backed entries rotated out in round 3, the 13 mid entries that
 # fell past the r3 cutoff, and the 4 rows-only ANN approximations (their
 # check is rows-only, but a driver row still catches crashes/row-count
-# drift) — plus any query new in round 4. The 38 r3-verified entries
+# drift) — plus the 11 queries new at the r4 rotation. The window
+# filled at 49+1 before the LATE round-4 additions (link graph,
+# pagerank, centrality, fertility/script profiles, BPE, CMS, bloom
+# decontam, water-filling) — those sit in the unpinned mid zone,
+# locally oracle-checked, queued for their first driver row at the
+# round-5 rotation (CLAUDE.md lists them). The 38 r3-verified entries
 # rotate to the back. Registration order elsewhere is unchanged — rotate
 # these lists, don't reorder function definitions.
 _WINDOW_FRONT = [
