@@ -10,79 +10,76 @@ from __future__ import annotations
 
 from textcleaning_spark import queries as Q
 
-# Round-4 window: every entry whose last driver row predates round 3
-# (the 21 oracle-backed entries rotated out in r3, the 13 mid entries
-# past the r3 cutoff, the 4 rows-only ANN approximations) plus every
-# query new in round 4 — all must receive a driver row this round.
+# Round-5 window: the 11 late-r4 entries that have NEVER had a driver
+# row lead (VERDICT r4 item 1), then every entry whose last driver row
+# is r3 (the r4 back list — queries.py has grown thousands of lines
+# since r3 HEAD), then the one query new in round 5.
 MUST_BE_IN_WINDOW = [
-    # oracle-backed, last driver-verified r1/r2 (old back list)
-    "char_bigram_ppl",
-    "rollup_revenue",
-    "langid_marker_confusion",
-    "shipping_priority",
-    "late_shipment_priorities",
-    "shingle_near_dup",
-    "doc_fingerprints",
-    "embedding_near_dup",
-    "lang_route_counts",
-    "vocab_topk",
-    "event_day_labels",
-    "event_props_stats",
-    "keyword_hits",
-    "vocab_setops",
-    "subtoken_counts",
-    "doc_length_deciles",
-    "events_lead_lag",
-    "routed_union_profile",
-    "idf_descriptive_stats",
-    "idf_quantile_cutoff",
-    "major_pos",
-    # oracle-backed mid entries that fell past the r3 cutoff
-    "near_dup_jaccard",
-    "embedding_topk",
-    "cube_profile",
-    "scrub_parity",
-    "stem_surface_forms",
-    "cleaned_text",
-    "vocab_semijoin_counts",
-    "stopword_antijoin_counts",
-    "simhash_fingerprints",
-    "lsh_candidate_pairs",
-    "nlp_tag_distribution",
-    "idf_alpha_sweep",
-    "asof_event_orders",
-    # rows-only ANN approximations, last driver-seen r1/r2
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_recall_vs_bruteforce",
-    "embedding_near_dup_fast",
-    # new in round 4
-    "ppl_cutoff_routing",
-    "incremental_crawl_dedup",
-    "dsir_selection",
-    "semdedup_keep",
-    "pipeline_funnel",
-    "minhash_lsh_recall",
-    "quality_drift_psi",
-    "nb_calibration",
-    "vocab_hll_audit",
-    "rule_ablation",
-    "span_novelty",
+    # late-r4 registry entries awaiting their FIRST driver row
+    "host_link_graph",
+    "host_pagerank",
+    "tokenizer_fertility",
+    "script_mix_profile",
+    "host_harmonic_exact",
+    "cms_heavy_hitters",
+    "decontam_bloom_prefilter",
+    "token_budget_allocation",
+    "hyperball_centrality_audit",
+    "bpe_merge_table",
+    "bpe_fertility",
+    # last driver-verified at r3 HEAD (the r4 back list)
+    "volume_shipping",
+    "priority_class_by_returnflag",
+    "small_quantity_revenue",
+    "incremental_upsert",
+    "near_dup_clusters",
+    "events_in_purchase_windows",
+    "deterministic_sample",
+    "curriculum_selection",
+    "boilerplate_line_scrub",
+    "rule_hit_profile",
+    "sole_late_supplier",
+    "span_contamination",
+    "media_feature_profile",
+    "simhash_near_dup",
+    "revenue_share_suppliers",
+    "winnow_fingerprints",
+    "source_quality_filter",
+    "nb_quality_confusion",
+    "customer_order_distribution",
+    "large_volume_orders",
+    "dormant_high_balance",
+    "sequence_packing",
+    "nb_holdout_confusion",
+    "stratified_sample",
+    "training_mix_report",
+    "dedup_keep_verdict",
+    "lang_sampling_weights",
+    "url_canonical_dedup",
+    "token_count_histogram",
+    "top_supplier_revenue",
+    "promo_brand_revenue",
+    "returned_item_customers",
+    "discount_revenue_forecast",
+    "ppl_tertile_routing",
+    "benchmark_decontam",
+    "nation_market_share",
+    "host_keep_profile",
+    "vocab_growth_curve",
+    # new in round 5
+    "noindex_politeness_filter",
 ]
 
 
 def test_registry_size():
     # The rotation comment in queries.py reasons about window budgets
     # from this number — pin it so the comment can't drift (ADVICE r3).
-    # 99 at the r4 window rotation + the late-r4 mid-zone additions
-    # (link graph, pagerank, fertility, script mix, harmonic exact +
-    # hyperball audit, BPE merge table + fertility, CMS heavy hitters,
-    # bloom-prefiltered decontam, token-budget water-filling), awaiting
-    # the round-5 rotation.
-    assert len(Q.queries()) == 110
+    # 110 at the r4 HEAD + noindex_politeness_filter (round 5).
+    assert len(Q.queries()) == 111
 
 
-def test_unverified_queries_inside_driver_window():
+def test_window_is_exactly_the_front_50():
+    assert len(MUST_BE_IN_WINDOW) == 50
     first50 = list(Q.queries())[:50]
     missing = [n for n in MUST_BE_IN_WINDOW if n not in first50]
     assert not missing, f"pushed out of the driver's 50-entry window: {missing}"
@@ -95,6 +92,9 @@ def test_queries_and_oracles_consistent():
     q_order = [n for n in qs if n in osql]
     assert q_order == list(osql)
     # rows-only entries are the known approximations, nothing else
+    # (frozen per VERDICT r4 item 8 — grow only with a documented
+    # structural justification: Spark-internal hashing, GK sketches,
+    # iterative training, numpy codecs)
     rows_only = sorted(set(qs) - set(osql))
     assert rows_only == [
         "ann_ivf_topk",
