@@ -7,14 +7,20 @@ import math
 
 import pytest
 
-from textcleaning_spark.queries import _SAMPLING_ALPHA, _waterfill
+from textcleaning_spark.queries import _waterfill
 
 
 def waterfill_py(avail: dict[str, int]) -> dict[str, tuple[int, bool]]:
-    """Sequential twin: identical integer arithmetic and tie-breaks."""
+    """Sequential twin: identical integer arithmetic and tie-breaks.
+
+    The weight is sqrt(sqrt(a)) — two correctly-rounded IEEE ops, so
+    this twin is bit-identical to the Spark and DuckDB sides (pow's
+    1-ulp slack is exactly what the sqrt chain exists to avoid); the
+    half-up snap mirrors Spark's F.round/BigDecimal HALF_UP."""
     t = int(math.floor(sum(avail.values()) / 2))
     w = {
-        l: int(round(a**_SAMPLING_ALPHA * 1e6)) for l, a in avail.items()
+        l: int(math.floor(math.sqrt(math.sqrt(a)) * 1e6 + 0.5))
+        for l, a in avail.items()
     }
     order = sorted(avail, key=lambda l: (avail[l] / w[l], l))
     total_w = sum(w.values())

@@ -6410,7 +6410,7 @@ _ALLOC_FRACTION_DEN = 2  # target budget T = floor(total_tokens / 2)
     ),
     w AS (
         SELECT lang, a,
-               CAST(round(pow(a::DOUBLE, {_SAMPLING_ALPHA}) * 1000000, 0)
+               CAST(round(sqrt(sqrt(a::DOUBLE)) * 1000000, 0)
                    AS BIGINT) AS w
         FROM avail
     ),
@@ -6460,20 +6460,27 @@ _ALLOC_FRACTION_DEN = 2  # target budget T = floor(total_tokens / 2)
 def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Water-filling token allocation: given per-language availability
     a_l (kept tokens in the corpus), temperature weights w_l ∝
-    a_l^0.3 (the lang_sampling_weights scheme, snapped to integer
-    micro-units), and a training budget T = half the corpus, allocate
-    t_l = min(a_l, λ·w_l) with Σ t_l = T — the step every mixture
-    plan needs once a small language's temperature share exceeds what
-    it HAS. Closed form: sort by a/w, find the unique breakpoint k
-    where languages 1..k saturate their caps and the rest share the
-    remainder in weight proportion.
+    a_l^(1/4) (the lang_sampling_weights scheme at τ=4, snapped to
+    integer micro-units), and a training budget T = half the corpus,
+    allocate t_l = min(a_l, λ·w_l) with Σ t_l = T — the step every
+    mixture plan needs once a small language's temperature share
+    exceeds what it HAS. Closed form: sort by a/w, find the unique
+    breakpoint k where languages 1..k saturate their caps and the rest
+    share the remainder in weight proportion.
 
     Exactness: availability, weights and the budget are integers; the
     breakpoint conditions are integer cross-multiplications (no λ
     float ever compared); per-language allocations floor an exact-in-
     double product/quotient — both engines bit-equal, every row
     oracle-checked. The only doubles are the a/w SORT keys, identical
-    IEEE divisions in both engines with a lang tie-break.
+    IEEE divisions in both engines with a lang tie-break. The weight
+    exponent is DELIBERATELY 1/4, not lang_sampling_weights' 0.3:
+    x^(1/4) = sqrt(sqrt(x)) is a chain of two CORRECTLY-ROUNDED IEEE
+    ops, bit-identical in the JVM, DuckDB and CPython, whereas
+    Math.pow carries only a 1-ulp contract vs libm's pow, and
+    round(pow(a, 0.3)·1e6) snaps that ulp into a BIGINT compared
+    exactly across engines (lang_sampling_weights only ever compares
+    pow output after round(·, 6) of a ratio, which absorbs the ulp).
 
     Scale shape: everything after the one lang-keyed corpus aggregate
     operates on a languages-sized frame (the single-partition window
@@ -6495,7 +6502,10 @@ def _waterfill(spark: SparkSession, avail: DataFrame) -> DataFrame:
     w = avail.select(
         "lang",
         "a",
-        F.round(F.pow(F.col("a").cast("double"), F.lit(_SAMPLING_ALPHA)) * 1e6, 0)
+        # x^(1/4) as sqrt∘sqrt: correctly-rounded IEEE ops only, so the
+        # BIGINT weight is bit-identical across engines (pow is not —
+        # see token_budget_allocation's docstring / ADVICE r4)
+        F.round(F.sqrt(F.sqrt(F.col("a").cast("double"))) * 1e6, 0)
         .cast("bigint")
         .alias("w"),
     ).localCheckpoint(eager=False)  # tiny; feeds sorted/wtot/tot
