@@ -61,15 +61,50 @@ def _split_http_payload(payload: bytes) -> bytes:
     return payload[sep + 4 :] if sep >= 0 else payload
 
 
+_EPOCH = datetime(1970, 1, 1)
+
+
+def _parse_warc_date(raw: str) -> datetime:
+    """WARC-Date → naive-UTC datetime (TIMESTAMP_NTZ end-to-end, like
+    the generator). WARC 1.0 mandates second precision but WARC 1.1
+    permits fractional seconds (common in real Common-Crawl-adjacent
+    archives, any number of digits); both parse here. A malformed date
+    degrades to epoch rather than killing the archive's task — one bad
+    record must not cost the other ~50k pages in a 1 GiB segment."""
+    raw = raw.strip()
+    try:
+        return datetime.strptime(raw, "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        pass
+    base, dot, frac = raw.rstrip("Z").partition(".")
+    try:
+        ts = datetime.strptime(base, "%Y-%m-%dT%H:%M:%S")
+    except ValueError:
+        return _EPOCH
+    if dot and frac.isdigit():
+        # micros from the first 6 fractional digits (nanos truncate)
+        ts = ts.replace(microsecond=int(frac[:6].ljust(6, "0")))
+    return ts
+
+
 def parse_warc_bytes(data: bytes) -> Iterator[tuple[str, datetime, bytes]]:
     """Yield (url, warc_ts, html) from one WARC archive's bytes.
 
     Framing is by the mandatory ``Content-Length`` header (ISO 28500
-    §4), never by scanning for the next version line. Non-response
+    §4), never by scanning for the next version line — payloads
+    containing 'WARC/1.0' cannot desynchronize it. Non-response
     records (warcinfo, request, metadata) are skipped. Gzip archives
     (including the standard one-member-per-record form) are inflated
     first — ``gzip.GzipFile`` consumes concatenated members.
-    """
+
+    Malformed-record policy (a 1 GiB segment is one task; one bad
+    record must not corrupt or kill the rest): a record whose
+    Content-Length is MISSING or non-numeric cannot be framed, so the
+    parser RESYNCS to the next ``\\r\\nWARC/`` version line and
+    continues (never advances by 0 into the payload, which would
+    silently reparse payload bytes as headers); a record whose payload
+    is truncated by EOF yields what is there and stops; a malformed
+    WARC-Date degrades to epoch (:func:`_parse_warc_date`)."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
     pos, n = 0, len(data)
@@ -83,16 +118,22 @@ def parse_warc_bytes(data: bytes) -> Iterator[tuple[str, datetime, bytes]]:
         if end < 0:
             break
         headers = _parse_header_block(data[pos:end])
-        length = int(headers.get("content-length", "0"))
+        raw_len = headers.get("content-length", "").strip()
+        if not raw_len.isdigit():
+            # unframeable record: resync to the next version line
+            # instead of advancing by 0 into the payload
+            nxt = data.find(_CRLF + b"WARC/", end + 4)
+            if nxt < 0:
+                break
+            pos = nxt + 2
+            continue
+        length = int(raw_len)
         payload = data[end + 4 : end + 4 + length]
         pos = end + 4 + length
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")
-        ts = datetime.strptime(
-            headers.get("warc-date", "1970-01-01T00:00:00Z"),
-            "%Y-%m-%dT%H:%M:%SZ",
-        )  # naive UTC — TIMESTAMP_NTZ end-to-end, like the generator
+        ts = _parse_warc_date(headers.get("warc-date", "1970-01-01T00:00:00Z"))
         yield url, ts, _split_http_payload(payload)
 
 
