@@ -120,3 +120,56 @@ def test_hyperball_singleton_ball_linear_counting(spark):
     est = _estimate(_init_registers(nodes, 6), 6)
     vals = [r["est"] for r in est.collect()]
     assert all(abs(v - 1.0) < 0.05 for v in vals)
+
+
+def test_targets_variant_equals_full_exact_restricted(spark):
+    """truncated_harmonic_targets (reversed-edge BFS seeded at the
+    sample) must be ROW-IDENTICAL to the full exact twin restricted to
+    the same hosts — the property that lets the HyperBall audit sample
+    its truth side without changing gate semantics."""
+    from textcleaning_spark.operators.centrality import (
+        truncated_harmonic_targets,
+    )
+    from textcleaning_spark.queries import _lg_edges
+    from textcleaning_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select("doc_id")
+    edges = _lg_edges(docs).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    sample = nodes.filter(
+        F.substring(F.md5(F.concat(F.col("host"), F.lit(":hbsample"))), 1, 1).isin(
+            "0", "1", "2", "3", "4"
+        )
+    )
+    sampled_hosts = {r["host"] for r in sample.collect()}
+    assert 10 < len(sampled_hosts) < nodes.count(), "sample degenerate"
+    full = {
+        r["host"]: (r["n_reaching"], r["harmonic_nano"], r["harmonic"])
+        for r in truncated_harmonic(edges, 3).collect()
+        if r["host"] in sampled_hosts
+    }
+    got = {
+        r["host"]: (r["n_reaching"], r["harmonic_nano"], r["harmonic"])
+        for r in truncated_harmonic_targets(edges, sample, 3).collect()
+    }
+    assert got == full
+
+
+def test_targets_variant_dangling_target(spark):
+    """A sampled host with no in-paths must appear with zeros (the
+    seeds frame, not the pair frame, defines the output rows)."""
+    from textcleaning_spark.operators.centrality import (
+        truncated_harmonic_targets,
+    )
+
+    edges = _edges(spark, [("a", "b"), ("b", "c")])
+    targets = spark.createDataFrame([("a",), ("c",)], "host string")
+    got = {
+        r["host"]: (r["n_reaching"], r["harmonic"])
+        for r in truncated_harmonic_targets(edges, targets, 3).collect()
+    }
+    assert got == {"a": (0, 0.0), "c": (2, 1.5)}

@@ -104,6 +104,69 @@ def truncated_harmonic(
     )
 
 
+def truncated_harmonic_targets(
+    edges: DataFrame,
+    targets: DataFrame,
+    radius: int = 3,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Exact truncated harmonic centrality for a SUBSET of target
+    hosts — the audit-side cost cutter: ``H(v) = Σ_u 1/d(u,v)`` needs
+    the distance from every u to v, so a BFS over REVERSED edges
+    seeded only at the targets materializes exactly the
+    (target, reached-u, min-dist) frame — O(|targets| × nodes), never
+    the full O(nodes²) pair space. ``targets`` is a 1-column
+    ``host`` frame; output schema and integer nano-unit math are
+    identical to :func:`truncated_harmonic` restricted to the targets
+    (differential-tested, tests/test_centrality.py), so the HyperBall
+    audit's gate semantics are unchanged by sampling."""
+    e = _edges(edges, src_col, dst_col).localCheckpoint(eager=False)
+    rev = e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    seeds = targets.select(F.col("host").alias("u")).distinct()
+    # (u = target, v = node whose out-path reaches u) at min distance
+    seen = (
+        rev.join(seeds, "u")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = seen
+    dist_frames = [frontier.withColumn("dist", F.lit(1).cast("bigint"))]
+    for r in range(2, radius + 1):
+        nxt = (
+            frontier.join(
+                e, frontier.v == e.dst
+            )  # reversed expansion: v ← its in-neighbors
+            .select("u", F.col("src").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .join(seen, ["u", "v"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        dist_frames.append(nxt.withColumn("dist", F.lit(r).cast("bigint")))
+        seen = seen.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    pairs = dist_frames[0]
+    for fr in dist_frames[1:]:
+        pairs = pairs.unionByName(fr)
+    per_u = pairs.groupBy(F.col("u").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reaching"),
+        F.sum(F.floor(F.lit(float(NANO)) / F.col("dist")).cast("bigint"))
+        .cast("bigint")
+        .alias("harmonic_nano"),
+    )
+    return seeds.select(F.col("u").alias("host")).join(per_u, "host", "left").select(
+        "host",
+        F.coalesce("n_reaching", F.lit(0)).cast("bigint").alias("n_reaching"),
+        F.coalesce("harmonic_nano", F.lit(0)).cast("bigint").alias("harmonic_nano"),
+        (
+            F.coalesce("harmonic_nano", F.lit(0)).cast("double")
+            / F.lit(float(NANO))
+        ).alias("harmonic"),
+    )
+
+
 def _alpha(m: int) -> float:
     if m == 16:
         return 0.673

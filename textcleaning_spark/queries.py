@@ -5972,22 +5972,39 @@ def host_harmonic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against the oracle-checked exact twin (minhash_lsh_recall pattern)
 def hyperball_centrality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall harmonic centrality (Boldi & Vigna 2013) vs the exact
-    truncated twin, per host, GATED in-query: rows exist only while
-    ≥ 90% of reachable hosts estimate within 30% relative error
-    (measured here: median ~6%, p90 ~14% with m=64 registers), so a
-    sketch regression makes the driver's rows-only count collapse.
+    truncated twin on a DETERMINISTIC md5 HOST SAMPLE (5/16 of hosts),
+    GATED in-query: rows exist only while ≥ 90% of reachable sampled
+    hosts estimate within 30% relative error (measured here: median
+    ~6%, p90 ~14% with m=64 registers), so a sketch regression makes
+    the driver's rows-only count collapse.
+
+    Sampling (the minhash_lsh_recall pattern, VERDICT r4 item 4): the
+    truth side runs operators/centrality.truncated_harmonic_targets —
+    a reversed-edge BFS seeded only at the sampled hosts, an
+    O(|sample| × hosts) frame instead of the full O(hosts²) pair
+    space, and differential-tested equal to the full exact twin
+    restricted to the sample (tests/test_centrality.py). The
+    oracle-checked full twin (host_harmonic_exact) is unchanged.
 
     Scale shape (operators/centrality.hyperball_harmonic): per round
     ONE edges⋈registers join (≤ E×m rows, 10-byte (node, idx) keys)
     and ONE max-aggregate with map-side partials — no arrays, no
-    Python, no O(hosts²) pair frame. The exact side is the audit-
-    scale truth (quadratic, same deliberate trade as
-    embedding_near_dup's brute-force oracle baseline)."""
+    Python, no O(hosts²) pair frame anywhere in this audit now."""
     from textcleaning_spark.operators import centrality as ct
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = _lg_edges(docs).localCheckpoint(eager=False)
-    exact = ct.truncated_harmonic(edges, radius=_HC_RADIUS)
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    sample = nodes.filter(
+        F.substring(F.md5(F.concat(F.col("host"), F.lit(":hbsample"))), 1, 1).isin(
+            "0", "1", "2", "3", "4"
+        )
+    )
+    exact = ct.truncated_harmonic_targets(edges, sample, radius=_HC_RADIUS)
     sketch = ct.hyperball_harmonic(edges, radius=_HC_RADIUS)
     joined = (
         exact.join(sketch, "host")
