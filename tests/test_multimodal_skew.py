@@ -73,15 +73,16 @@ def test_real_features_content_derived(spark):
 
 
 def test_media_compressed_formats_raise(spark):
-    """MP4/MP3 genuinely need ffmpeg (inter-frame/psychoacoustic
-    codecs) — those paths stay an honest NotImplementedError. PNG and
-    baseline JPEG decode for real now; progressive JPEG (SOF2) is a
-    different entropy layout and raises ValueError, not a wrong
-    answer."""
+    """MP3 genuinely needs ffmpeg (psychoacoustic codec) — that path
+    stays an honest NotImplementedError. MP4 METADATA parses for real
+    now (ISO BMFF box walk), so a structurally broken MP4 is a
+    ValueError (defensive parse), not a stub. PNG and baseline JPEG
+    decode for real; progressive JPEG (SOF2) is a different entropy
+    layout and raises ValueError, not a wrong answer."""
     from textcleaning_spark.multimodal.media import _real_features
 
-    with pytest.raises(NotImplementedError):
-        _real_features(b"\x00\x00\x00 ftypmp42", "video/mp4")
+    with pytest.raises(ValueError):  # ftyp but no moov: rejected, not garbage
+        _real_features(b"\x00\x00\x00\x10ftypmp42\x00\x00\x00\x00", "video/mp4")
     with pytest.raises(NotImplementedError):
         _real_features(b"ID3\x04...", "audio/mpeg")
 
@@ -240,6 +241,74 @@ def test_real_resize_resamples_pixels(spark):
     small = M.decode_bmp(M.resize_bmp(M.encode_bmp(rgb), "image/bmp", 4, 4))
     assert small.shape == (4, 4, 3)
     assert small[0, 0, 0] == 10 and small[3, 3, 0] == 240
+
+
+def test_mp4_box_walk_roundtrip():
+    """encode_mp4 → parse_mp4 recovers duration, per-track handler /
+    codec fourcc / dims / sample rate / sample count, at BOTH full-box
+    versions (0: 32-bit times, 1: 64-bit) and through a 64-bit
+    largesize mdat header."""
+    import struct
+
+    from textcleaning_spark.multimodal.mp4 import encode_mp4, parse_mp4
+
+    for version in (0, 1):
+        b = encode_mp4(
+            3200,
+            video={"width": 320, "height": 240, "n_samples": 32},
+            audio={"sample_rate": 16000, "n_samples": 100},
+            mdat=b"\x00" * 64,
+            version=version,
+        )
+        m = parse_mp4(b)
+        assert m["brand"] == "isom" and m["duration_ms"] == 3200
+        vid, aud = m["tracks"]
+        assert (vid["handler"], vid["codec"]) == ("vide", "mp4v")
+        assert (vid["width"], vid["height"], vid["n_samples"]) == (320, 240, 32)
+        assert (aud["handler"], aud["codec"]) == ("soun", "mp4a")
+        assert (aud["sample_rate"], aud["n_samples"]) == (16000, 100)
+
+    # rewrite the mdat header to size==1 + 64-bit largesize
+    b = encode_mp4(1500, video={"width": 8, "height": 8, "n_samples": 15})
+    at = b.rindex(b"mdat") - 4
+    size = struct.unpack_from(">I", b, at)[0]
+    b64 = b[:at] + struct.pack(">I4sQ", 1, b"mdat", size + 8) + b[at + 8 :]
+    assert parse_mp4(b64)["duration_ms"] == 1500
+
+    for bad in (b"", b"\x00" * 24, b"\xff" * 100):
+        with pytest.raises(ValueError):
+            parse_mp4(bad)
+
+
+def test_mp4_features_real_and_rotation_invariant(spark):
+    """The MP4 leg's features carry the real parsed metadata, its f0
+    (declared sample count) equals the RAWVID leg's f0 (frame count)
+    for the same row, and the rotated generator decodes 100% of rows
+    in real mode — the property that keeps media_feature_profile's
+    aggregates container-invariant."""
+    from textcleaning_spark.multimodal import media as M
+
+    plain = {
+        r["media_id"]: r["features"][0]
+        for r in extract_features(generate_media(spark, 60, seed=11)).collect()
+    }
+    rotated_rows = extract_features(
+        generate_media(spark, 60, seed=11, video_mp4_rotation=True)
+    ).collect()
+    rotated = {r["media_id"]: r["features"][0] for r in rotated_rows}
+    assert rotated == plain  # f0 invariant under container rotation
+    assert len(rotated) == 60
+
+    mp4_rows = (
+        generate_media(spark, 60, seed=11, video_mp4_rotation=True)
+        .filter("mime = 'video/mp4'")
+        .collect()
+    )
+    assert mp4_rows, "rotation produced no MP4 rows"
+    f = M._real_features(bytes(mp4_rows[0]["payload"]), "video/mp4")
+    assert f[1] == 16.0 and f[2] == 12.0  # real parsed track dims
+    assert f[3] == mp4_rows[0]["duration_ms"] / 1000.0  # real mvhd duration
+    assert f[7] == 3.0  # video kind marker
 
 
 def test_frame_sampling_expands_rows(spark):

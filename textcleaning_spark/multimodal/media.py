@@ -21,11 +21,17 @@ with numpy + struct only (both published byte layouts):
   frames (magic ``RAWVID01``), standing in for a frame-accurate
   demuxer.
 
-Formats whose codecs remain out of reach here (MP3/MP4 — psychoacoustic
-/ inter-frame coders) need ffmpeg/torchaudio, which are NOT in this
-container: ``mode="real"`` raises NotImplementedError for those mimes
-with the integration point documented. ``mode="fake"`` (hash-derived
-features) remains for payload-agnostic plumbing tests.
+* ``video/mp4``  — METADATA-ONLY via the ISO BMFF box walk
+  (multimodal/mp4.py, ISO/IEC 14496-12): real duration / track dims /
+  codec fourcc / sample counts from moov; coded frames stay opaque
+  (inter-frame codecs need ffmpeg, which is not in this container),
+  so frame SAMPLING of MP4 raises while feature extraction is real.
+
+Formats whose codecs remain out of reach here (MP3 — psychoacoustic
+coder) need ffmpeg/torchaudio, which are NOT in this container:
+``mode="real"`` raises NotImplementedError for those mimes with the
+integration point documented. ``mode="fake"`` (hash-derived features)
+remains for payload-agnostic plumbing tests.
 """
 
 from __future__ import annotations
@@ -294,9 +300,19 @@ def _audio_samples(seed: int, i: int, rate: int, duration_ms: int) -> np.ndarray
     return (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
 
 
-def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+def generate_media(
+    spark: SparkSession, n: int, seed: int = 42, video_mp4_rotation: bool = False
+) -> DataFrame:
     """Deterministic media table with REAL encoded payloads (BMP / PCM
-    WAV / RAWVID01). Content is a pure function of (seed, media_id)."""
+    WAV / RAWVID01). Content is a pure function of (seed, media_id).
+
+    ``video_mp4_rotation=True`` alternates video rows between the
+    RAWVID01 container and a structurally valid metadata-only MP4
+    (multimodal/mp4.py) whose declared sample count equals the RAWVID
+    leg's frame count for the same row — so profile aggregates over f0
+    are rotation-invariant. Default off: frame SAMPLING demuxes only
+    RAWVID (MP4 frame decode needs ffmpeg), so callers that sample
+    frames keep the all-RAWVID contract."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -329,6 +345,18 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                         payload = encode_bmp(pixels)
                 elif kind == "audio":
                     payload = encode_wav(_audio_samples(seed, i, rate, dur), rate)
+                elif video_mp4_rotation and (i // 3) % 2 == 1:
+                    from textcleaning_spark.multimodal.mp4 import encode_mp4
+
+                    n_frames = max(1, dur // 100)
+                    opaque = hashlib.sha256(f"{seed}:{i}:mdat".encode()).digest()
+                    payload = encode_mp4(
+                        dur,
+                        video={"width": 16, "height": 12, "n_samples": n_frames},
+                        mdat=opaque * 4,
+                        version=i % 2,
+                    )
+                    mime = "video/mp4"
                 else:
                     frames = [
                         encode_bmp(_image_pixels(seed, i * 1000 + fi, 16, 12))
@@ -356,7 +384,8 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 # kernels
 # ---------------------------------------------------------------------------
 _DECODABLE = {
-    "image/bmp", "image/png", "image/jpeg", "audio/wav", "video/x-raw-frames",
+    "image/bmp", "image/png", "image/jpeg", "audio/wav",
+    "video/x-raw-frames", "video/mp4",
 }
 
 
@@ -384,6 +413,22 @@ def _real_features(payload: bytes, mime: str) -> list[float]:
         h, w, _ = first.shape
         f = [len(frames), w, h, float(first.mean()),
              float(first.std()), 0.0, 0.0, 3.0]
+    elif mime == "video/mp4":
+        # ISO BMFF box walk (multimodal/mp4.py): REAL container
+        # metadata, no frame decode. f0 = declared sample count keeps
+        # the per-kind profile aggregates codec-rotation-invariant
+        # (the RAWVID leg's f0 is its frame count).
+        from textcleaning_spark.multimodal.mp4 import parse_mp4
+
+        meta = parse_mp4(payload)
+        vid = next(
+            (t for t in meta["tracks"] if t["handler"] == "vide"), None
+        )
+        if vid is None or not vid["n_samples"]:
+            raise ValueError("MP4 without a video track")
+        f = [vid["n_samples"], vid["width"] or 0, vid["height"] or 0,
+             meta["duration_ms"] / 1000.0, float(len(meta["tracks"])),
+             0.0, 0.0, 3.0]
     else:
         raise NotImplementedError(
             f"format {mime!r} needs ffmpeg/torchaudio (psychoacoustic / "
@@ -446,9 +491,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, mode: str = "real") -> Da
                     continue
                 if mode == "real":
                     if r.mime != "video/x-raw-frames":
+                        # MP4 metadata parses (multimodal/mp4.py) but
+                        # its coded frames need a real video codec
                         raise NotImplementedError(
-                            f"demuxing {r.mime!r} needs ffmpeg (not in "
-                            "this container)"
+                            f"decoding {r.mime!r} frames needs ffmpeg "
+                            "(not in this container)"
                         )
                     frames = decode_rawvid(r.payload)
                     ms_per_frame = int(r.duration_ms) / max(len(frames), 1)

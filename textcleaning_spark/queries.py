@@ -2626,21 +2626,25 @@ def char_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → mapInPandas REAL decode (pure-numpy BMP /
     PNG (zlib inflate + scanline unfilter) / baseline JPEG (Annex K
-    Huffman + IDCT, multimodal/jpeg.py) / PCM-WAV / raw-frames codecs)
-    → feature kernel → per-kind profile; generated images rotate
-    BMP/PNG/JPEG so all three codecs flow through. MP4/MP3 remain the
-    documented ffmpeg integration point.
+    Huffman + IDCT, multimodal/jpeg.py) / PCM-WAV / raw-frames codecs /
+    MP4 ISO BMFF metadata box walk (multimodal/mp4.py)) → feature
+    kernel → per-kind profile; generated images rotate BMP/PNG/JPEG
+    and videos rotate RAWVID01/MP4 so every real codec flows through.
+    MP4 frame decode and MP3 remain the documented ffmpeg integration
+    point (metadata is real; coded frames stay opaque).
 
     The codec invariants are asserted IN-QUERY (the ann_recall gate
     pattern): every feature vector must be exactly 8-dim, each kind
     must decode all 100 of its generated payloads, the 8th feature is
     a kind marker (1=image, 2=audio, 3=video) that must agree on every
-    row, and f0 (width / seconds / frame count) must be positive. A
-    codec regression makes that kind's row vanish, so the driver's
-    rows-only check (3 rows == all invariants hold) catches it."""
+    row, and f0 (width / seconds / frame-or-sample count — equal
+    across the two video containers by construction, so rotation
+    cannot move sum_f0) must be positive. A codec regression makes
+    that kind's row vanish, so the driver's rows-only check (3 rows ==
+    all invariants hold) catches it."""
     from textcleaning_spark.multimodal.media import extract_features, generate_media
 
-    media = generate_media(spark, 300, seed=11)
+    media = generate_media(spark, 300, seed=11, video_mp4_rotation=True)
     feats = extract_features(media, mode="real")
     expected_marker = (
         F.when(F.col("kind") == "image", 1.0)
