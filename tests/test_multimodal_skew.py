@@ -73,18 +73,20 @@ def test_real_features_content_derived(spark):
 
 
 def test_media_compressed_formats_raise(spark):
-    """MP3 genuinely needs ffmpeg (psychoacoustic codec) — that path
-    stays an honest NotImplementedError. MP4 METADATA parses for real
-    now (ISO BMFF box walk), so a structurally broken MP4 is a
-    ValueError (defensive parse), not a stub. PNG and baseline JPEG
+    """MP4/MP3 METADATA parses for real now (box walk / frame-header
+    walk), so a structurally broken payload is a ValueError (defensive
+    parse), not a stub; codecs we genuinely can't reimplement (e.g.
+    Vorbis) stay an honest NotImplementedError. PNG and baseline JPEG
     decode for real; progressive JPEG (SOF2) is a different entropy
     layout and raises ValueError, not a wrong answer."""
     from textcleaning_spark.multimodal.media import _real_features
 
     with pytest.raises(ValueError):  # ftyp but no moov: rejected, not garbage
         _real_features(b"\x00\x00\x00\x10ftypmp42\x00\x00\x00\x00", "video/mp4")
+    with pytest.raises(ValueError):  # ID3 header but no frame sync
+        _real_features(b"ID3\x04\x00\x00\x00\x00\x00\x00junk", "audio/mpeg")
     with pytest.raises(NotImplementedError):
-        _real_features(b"ID3\x04...", "audio/mpeg")
+        _real_features(b"OggS\x00\x02", "audio/ogg")
 
     import numpy as np
 
@@ -278,6 +280,41 @@ def test_mp4_box_walk_roundtrip():
     for bad in (b"", b"\x00" * 24, b"\xff" * 100):
         with pytest.raises(ValueError):
             parse_mp4(bad)
+
+
+def test_mp3_frame_walk_roundtrip():
+    """encode_mp3_meta → parse_mp3 recovers frame count, duration,
+    rate, bitrate and channel mode across MPEG-1/MPEG-2, Layer III/II,
+    the padding-bit +1-slot length rule at 44100 Hz, an ID3v2 tag, a
+    truncated final frame, and trailing junk (stop, don't resync)."""
+    from textcleaning_spark.multimodal.mp3 import encode_mp3_meta, parse_mp3
+
+    b = encode_mp3_meta(50)  # MPEG-1 L3 48 kHz 128 kbps: 24 ms frames
+    assert parse_mp3(b) == {
+        "version": "1", "layer": 3, "bitrate_kbps": 128,
+        "sample_rate": 48000, "channels": 1, "n_frames": 50,
+        "duration_ms": 1200,
+    }
+    m = parse_mp3(encode_mp3_meta(30, sample_rate=44100, pad_every=3))
+    assert (m["n_frames"], m["sample_rate"]) == (30, 44100)
+    m = parse_mp3(
+        encode_mp3_meta(40, bitrate_kbps=64, sample_rate=16000, id3=b"\x00" * 300)
+    )
+    assert m["version"] == "2" and m["duration_ms"] == 40 * 576 * 1000 // 16000
+    m = parse_mp3(encode_mp3_meta(10, bitrate_kbps=192, sample_rate=44100,
+                                  layer=2, mono=False))
+    assert (m["layer"], m["channels"]) == (2, 2)
+    assert parse_mp3(b[:-100])["n_frames"] == 49  # truncated final frame
+    assert parse_mp3(b + b"TAGjunk")["n_frames"] == 50  # trailing tag
+    for bad in (b"", b"\x00" * 64, b"\xff\xff\xff\xff" + b"\x00" * 60):
+        with pytest.raises(ValueError):
+            parse_mp3(bad)
+
+    # the feature kernel path: real metadata features, audio marker
+    from textcleaning_spark.multimodal.media import _real_features
+
+    f = _real_features(b, "audio/mpeg")
+    assert f == [1.2, 48000.0, 128.0, 50.0, 1.0, 0.0, 0.0, 2.0]
 
 
 def test_mp4_features_real_and_rotation_invariant(spark):

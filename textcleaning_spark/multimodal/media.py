@@ -26,12 +26,15 @@ with numpy + struct only (both published byte layouts):
   codec fourcc / sample counts from moov; coded frames stay opaque
   (inter-frame codecs need ffmpeg, which is not in this container),
   so frame SAMPLING of MP4 raises while feature extraction is real.
+* ``audio/mpeg`` — METADATA-ONLY via the MPEG audio frame-header walk
+  (multimodal/mp3.py, ISO/IEC 11172-3): real duration / sample rate /
+  bitrate / frame count; psychoacoustic PCM reconstruction stays the
+  documented ffmpeg boundary.
 
-Formats whose codecs remain out of reach here (MP3 — psychoacoustic
-coder) need ffmpeg/torchaudio, which are NOT in this container:
-``mode="real"`` raises NotImplementedError for those mimes with the
-integration point documented. ``mode="fake"`` (hash-derived features)
-remains for payload-agnostic plumbing tests.
+Any other compressed mime hits a NotImplementedError in ``mode="real"``
+with the ffmpeg/torchaudio integration point documented.
+``mode="fake"`` (hash-derived features) remains for payload-agnostic
+plumbing tests.
 """
 
 from __future__ import annotations
@@ -413,6 +416,15 @@ def _real_features(payload: bytes, mime: str) -> list[float]:
         h, w, _ = first.shape
         f = [len(frames), w, h, float(first.mean()),
              float(first.std()), 0.0, 0.0, 3.0]
+    elif mime == "audio/mpeg":
+        # MPEG audio frame-header walk (multimodal/mp3.py): REAL
+        # duration / rate / bitrate / frame count, no PCM decode.
+        from textcleaning_spark.multimodal.mp3 import parse_mp3
+
+        meta = parse_mp3(payload)
+        f = [meta["duration_ms"] / 1000.0, meta["sample_rate"],
+             meta["bitrate_kbps"], meta["n_frames"], meta["channels"],
+             0.0, 0.0, 2.0]
     elif mime == "video/mp4":
         # ISO BMFF box walk (multimodal/mp4.py): REAL container
         # metadata, no frame decode. f0 = declared sample count keeps
