@@ -119,6 +119,8 @@ HEADLINE = [
     "decontam_bloom_prefilter",
     "token_budget_allocation",
     "noindex_politeness_filter",
+    "robots_longest_match",
+    "cc_luhn_scrub_audit",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "200000"))

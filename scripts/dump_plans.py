@@ -68,6 +68,8 @@ FLAGSHIP = [
     ("script_mix_profile", "script census — three codegen'd regexp passes scan-side, one lang-keyed agg"),
     ("cms_heavy_hitters", "CMS audit — fixed 3x256 sketch agg + TakeOrderedAndProject top-k, estimates via broadcast join against the 768-row sketch"),
     ("decontam_bloom_prefilter", "bloom prefilter — bitmap constant-folded to ONE array literal, 5 xxhash64+bit tests scan-side before the exact semi-join"),
+    ("robots_longest_match", "robots.txt politeness — per-host rule arrays broadcast, RFC 9309 longest-match decided by a per-row HOF fold (no explode), one (lang,bool) shuffle"),
+    ("cc_luhn_scrub_audit", "Luhn PII audit — candidate extraction + checksum fold fused into one shuffle-free codegen'd project; single lang-keyed agg"),
 ]
 
 

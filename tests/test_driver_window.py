@@ -74,8 +74,9 @@ MUST_BE_IN_WINDOW = [
 def test_registry_size():
     # The rotation comment in queries.py reasons about window budgets
     # from this number — pin it so the comment can't drift (ADVICE r3).
-    # 110 at the r4 HEAD + noindex_politeness_filter (round 5).
-    assert len(Q.queries()) == 111
+    # 110 at the r4 HEAD + noindex_politeness_filter,
+    # robots_longest_match, cc_luhn_scrub_audit (round 5).
+    assert len(Q.queries()) == 113
 
 
 def test_window_is_exactly_the_front_50():

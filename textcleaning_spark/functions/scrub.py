@@ -64,6 +64,45 @@ def scrub_py(text: str, cfg: ScrubConfig | None = None) -> str:
     return out
 
 
+def luhn_valid(cand: Column) -> Column:
+    """Luhn mod-10 validity of a digit-only string — native HOFs only.
+
+    Real pipelines gate credit-card PII scrubbing on the Luhn checksum
+    (ISO/IEC 7812) to cut regex false positives: a 13-19-digit run is
+    only treated as a card number when the check digit verifies. The
+    whole test runs JVM-side (sequence → transform → aggregate), no
+    Python. From the RIGHT, every second digit doubles (−9 when >9);
+    the doubled-digit sum must be ≡ 0 (mod 10). NULL in → NULL out;
+    the caller guarantees ``cand`` is a non-empty digit run (the
+    ``\\d{13,19}`` extraction upstream).
+    """
+    n = F.length(cand)
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            (n - i) % 2 == 1,
+            F.when(
+                (F.ascii(F.substr(cand, i, F.lit(1))) - 48) * 2 > 9,
+                (F.ascii(F.substr(cand, i, F.lit(1))) - 48) * 2 - 9,
+            ).otherwise((F.ascii(F.substr(cand, i, F.lit(1))) - 48) * 2),
+        ).otherwise(F.ascii(F.substr(cand, i, F.lit(1))) - 48),
+    )
+    return F.aggregate(terms, F.lit(0), lambda a, x: a + x) % 10 == 0
+
+
+def luhn_valid_py(s: str) -> bool:
+    """Sequential Python twin of :func:`luhn_valid` (differential tests)."""
+    total = 0
+    for i, ch in enumerate(reversed(s)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
 def rule_hits(col: Column, cfg: ScrubConfig | None = None) -> Column:
     """Struct of per-rule hit counts (native regexp_count) — feeds the
     audit/metrics table."""

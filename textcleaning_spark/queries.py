@@ -6713,3 +6713,298 @@ def noindex_politeness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "noindex_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 83. robots.txt longest-prefix-match politeness (RFC 9309) — the OTHER
+#     half of crawl compliance next to the meta-noindex filter: per-host
+#     allow/disallow path rules where the MOST SPECIFIC (longest)
+#     matching rule wins and allow beats disallow on ties. The parquet
+#     corpus carries no robots.txt bodies, so hosts and their rule
+#     tables are derived from doc_id by the deterministic md5 recipe
+#     (the host_link_graph pattern) — the longest-match join machinery
+#     that runs is the REAL operator shape.
+# ---------------------------------------------------------------------------
+@register(
+    "robots_longest_match",
+    """
+    WITH pages AS (
+        SELECT doc_id, lang,
+               'h' || substr(md5(doc_id::VARCHAR || ':rh'), 1, 2) AS host,
+               '/p/' || doc_id::VARCHAR AS path
+        FROM documents
+    ),
+    hosts AS (SELECT DISTINCT host FROM pages),
+    hd AS (
+        SELECT host,
+               (ascii(substr(md5(host || ':r1'), 1, 1)) % 10)::VARCHAR AS d1,
+               (ascii(substr(md5(host || ':r2'), 1, 1)) % 10)::VARCHAR AS d2,
+               ascii(substr(md5(host || ':r3'), 1, 1)) % 2 = 0 AS has_allow,
+               ascii(substr(md5(host || ':r4'), 1, 1)) % 16 = 0 AS blanket
+        FROM hosts
+    ),
+    rules AS (
+        SELECT host, '/p/' || d1 AS prefix, FALSE AS allow FROM hd
+        UNION ALL
+        SELECT host, '/p/' || d1 || d2 AS prefix, TRUE AS allow
+        FROM hd WHERE has_allow
+        UNION ALL
+        SELECT host, '/p/' AS prefix, FALSE AS allow FROM hd WHERE blanket
+    ),
+    matched AS (
+        SELECT p.doc_id, p.lang, r.allow,
+               row_number() OVER (
+                   PARTITION BY p.doc_id
+                   ORDER BY length(r.prefix) DESC, r.allow DESC
+               ) AS rk
+        FROM pages p
+        JOIN rules r ON r.host = p.host AND starts_with(p.path, r.prefix)
+    ),
+    decided AS (
+        SELECT p.lang, coalesce(m.allow, TRUE) AS allowed
+        FROM pages p
+        LEFT JOIN (SELECT doc_id, allow FROM matched WHERE rk = 1) m
+               ON m.doc_id = p.doc_id
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_pages,
+           sum(CASE WHEN allowed THEN 0 ELSE 1 END)::BIGINT AS n_blocked,
+           sum(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT AS n_allowed,
+           round(sum(CASE WHEN allowed THEN 0 ELSE 1 END)::DOUBLE
+                 / count(*), 6) AS block_rate
+    FROM decided
+    GROUP BY lang
+    """,
+)
+def robots_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language crawl-block rate under RFC 9309 robots.txt
+    longest-prefix-match semantics: each host carries a small rule
+    table (a blanket ``Disallow: /p/`` on ~1/16 of hosts, a one-digit
+    ``Disallow: /p/<d1>`` everywhere, and on half the hosts a more
+    specific two-digit ``Allow: /p/<d1><d2>`` carve-out); a page is
+    fetchable iff the LONGEST rule whose prefix matches its path says
+    allow (allow wins length ties; no match ⇒ allowed). The carve-out
+    exercises the part naive "any disallow matches ⇒ drop" filters get
+    wrong.
+
+    Scale shape: the rules side is tiny relative to pages (real
+    robots tables are ~one row-group per crawl snapshot even at 10^12
+    pages), so Spark broadcasts it; the decision is then a per-row
+    higher-order fold over that host's ≤3-element rule array — array
+    filter by prefix match, array_max over (length, allow) structs —
+    all JVM-side, no explode, no per-rule row amplification, and the
+    single real shuffle carries only (lang, bool) with map-side
+    partials. The DuckDB oracle deliberately keeps the naive
+    row-amplified rules-join + row_number form, so hash-equality
+    cross-checks two independent formulations of the same semantics.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    did = F.col("doc_id").cast("string")
+    pages = docs.select(
+        "lang",
+        F.concat(
+            F.lit("h"), F.substring(F.md5(F.concat(did, F.lit(":rh"))), 1, 2)
+        ).alias("host"),
+        F.concat(F.lit("/p/"), did).alias("path"),
+    )
+
+    def _nib(salt: str) -> Column:
+        return F.ascii(
+            F.substring(F.md5(F.concat(F.col("host"), F.lit(salt))), 1, 1)
+        )
+
+    d1 = (_nib(":r1") % 10).cast("string")
+    d2 = (_nib(":r2") % 10).cast("string")
+    has_allow = _nib(":r3") % 2 == 0
+    blanket = _nib(":r4") % 16 == 0
+
+    def _rule(prefix: Column, allow: bool) -> Column:
+        return F.struct(prefix.alias("prefix"), F.lit(allow).alias("allow"))
+
+    rules = (
+        pages.select("host")
+        .distinct()
+        .select(
+            "host",
+            F.filter(
+                F.array(
+                    _rule(F.concat(F.lit("/p/"), d1), False),
+                    F.when(
+                        has_allow, _rule(F.concat(F.lit("/p/"), d1, d2), True)
+                    ),
+                    F.when(blanket, _rule(F.lit("/p/"), False)),
+                ),
+                lambda r: r.isNotNull(),
+            ).alias("rules"),
+        )
+    )
+    joined = pages.join(F.broadcast(rules), "host")
+    best = F.array_max(
+        F.transform(
+            F.filter(
+                F.col("rules"),
+                lambda r: F.col("path").startswith(r["prefix"]),
+            ),
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("l"), r["allow"].alias("a")
+            ),
+        )
+    )
+    decided = joined.withColumn("best", best).select(
+        "lang",
+        F.when(F.col("best").isNull(), F.lit(True))
+        .otherwise(F.col("best")["a"])
+        .alias("allowed"),
+    )
+    blk = F.when(F.col("allowed"), 0).otherwise(1)
+    return decided.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+        F.sum(blk).cast("bigint").alias("n_blocked"),
+        (F.count(F.lit(1)) - F.sum(blk)).cast("bigint").alias("n_allowed"),
+        F.round(F.sum(blk).cast("double") / F.count(F.lit(1)), 6).alias(
+            "block_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 84. Luhn-validated credit-card PII audit — checksum-gated detection
+#     (ISO/IEC 7812), the way production PII scrubbers separate card
+#     numbers from arbitrary 13-19-digit runs. The corpus text carries
+#     no digits, so card-like runs are planted deterministically from
+#     doc_id in BOTH engines: ~1/8 of docs get a 16-digit md5-derived
+#     run (Luhn-valid only by 1-in-10 chance), ~1/8 get the canonical
+#     test PAN 4111111111111111 (always valid) — so the report has
+#     deterministic nonzero counts in BOTH the flagged and the
+#     rejected-candidate columns.
+# ---------------------------------------------------------------------------
+_CC_SYNTH_SQL = " || ".join(
+    f"(ascii(substr(cn, {i}, 1)) % 10)::VARCHAR" for i in range(1, 17)
+)
+_CC_LUHN_TERM = """CASE WHEN (length(cand) - i) % 2 = 1
+                 THEN CASE WHEN (ascii(substr(cand, i, 1)) - 48) * 2 > 9
+                           THEN (ascii(substr(cand, i, 1)) - 48) * 2 - 9
+                           ELSE (ascii(substr(cand, i, 1)) - 48) * 2 END
+                 ELSE ascii(substr(cand, i, 1)) - 48 END"""
+
+
+@register(
+    "cc_luhn_scrub_audit",
+    f"""
+    WITH planted AS (
+        SELECT doc_id, lang, text,
+               ascii(substr(md5(doc_id::VARCHAR || ':cc'), 1, 1)) % 8 AS sel,
+               md5(doc_id::VARCHAR || ':cn') AS cn
+        FROM documents
+    ),
+    body AS (
+        SELECT lang,
+               CASE WHEN sel = 0
+                    THEN text || chr(10) || 'card ' || {_CC_SYNTH_SQL}
+                         || ' on file'
+                    WHEN sel = 1
+                    THEN text || chr(10) || 'card 4111111111111111 on file'
+                    ELSE text END AS text
+        FROM planted
+    ),
+    cands AS (
+        SELECT lang,
+               regexp_extract_all(text, '\\d{{13,19}}') AS cands
+        FROM body
+    ),
+    scored AS (
+        SELECT lang, len(cands)::BIGINT AS n_cand,
+               coalesce(list_sum([CASE WHEN
+                   list_sum([{_CC_LUHN_TERM}
+                     FOR i IN range(1, length(cand) + 1)]) % 10 = 0
+                   THEN 1 ELSE 0 END FOR cand IN cands]), 0)::BIGINT AS n_valid
+        FROM cands
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_cand)::BIGINT AS n_cands,
+           sum(n_valid)::BIGINT AS n_luhn_valid,
+           sum(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_docs_flagged,
+           round(sum(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS cc_rate
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def cc_luhn_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language credit-card PII report with Luhn checksum gating:
+    candidate 13-19-digit runs are extracted with the production regex
+    shape, then each run must pass the Luhn mod-10 check
+    (functions/scrub.luhn_valid) before it counts as a card number —
+    the checksum rejects ~90% of arbitrary digit runs, which is
+    exactly the false-positive control real scrubbers rely on (the
+    report's n_cands vs n_luhn_valid gap shows it working).
+
+    Scale shape: everything is one shuffle-free codegen'd project per
+    row — regexp_extract_all materializes the candidate array ONCE as
+    a column, and the Luhn fold is a nested native HOF
+    (transform→aggregate) over that array, no explode, no Python, no
+    per-candidate row amplification; the single shuffle carries
+    (lang, three ints) with map-side partials. The DuckDB oracle
+    replays the identical checksum via list comprehensions.
+    """
+    from textcleaning_spark.functions import scrub as _scrub
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    did = F.col("doc_id").cast("string")
+    staged = docs.select(
+        "lang",
+        "text",
+        (F.ascii(F.substring(F.md5(F.concat(did, F.lit(":cc"))), 1, 1)) % 8).alias(
+            "sel"
+        ),
+        F.md5(F.concat(did, F.lit(":cn"))).alias("cn"),
+    )
+    synth = F.concat(
+        *[
+            (F.ascii(F.substring(F.col("cn"), i, 1)) % 10).cast("string")
+            for i in range(1, 17)
+        ]
+    )
+    body = staged.select(
+        "lang",
+        F.when(
+            F.col("sel") == 0,
+            F.concat(F.col("text"), F.lit("\ncard "), synth, F.lit(" on file")),
+        )
+        .when(
+            F.col("sel") == 1,
+            F.concat(F.col("text"), F.lit("\ncard 4111111111111111 on file")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cands = body.select(
+        "lang",
+        F.regexp_extract_all(F.col("text"), F.lit(r"\d{13,19}"), 0).alias("cands"),
+    )
+    scored = cands.select(
+        "lang",
+        F.size("cands").cast("bigint").alias("n_cand"),
+        F.aggregate(
+            F.transform(
+                F.col("cands"),
+                lambda c: F.when(_scrub.luhn_valid(c), 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        .cast("bigint")
+        .alias("n_valid"),
+    )
+    flag = F.when(F.col("n_valid") > 0, 1).otherwise(0)
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_cand").cast("bigint").alias("n_cands"),
+        F.sum("n_valid").cast("bigint").alias("n_luhn_valid"),
+        F.sum(flag).cast("bigint").alias("n_docs_flagged"),
+        F.round(F.sum(flag).cast("double") / F.count(F.lit(1)), 6).alias(
+            "cc_rate"
+        ),
+    )
